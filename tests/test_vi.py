@@ -1,0 +1,157 @@
+"""Tests for the MFVI pytree transform: structure, KL parity vs torch, RT/LRT
+sampling moments."""
+
+import numpy as np
+import pytest
+import torch
+import jax
+import jax.numpy as jnp
+
+from mfvi_dip_mia_tpu.bayes import vi
+from mfvi_dip_mia_tpu.bayes import priors
+from mfvi_dip_mia_tpu.nn import layers
+
+
+def small_params():
+    return {
+        "a": {"conv": {"w": jnp.zeros((3, 3, 2, 4)), "b": jnp.zeros((4,))},
+              "bn": {"scale": jnp.ones((4,)), "offset": jnp.zeros((4,))}},
+        "b": [{"w": jnp.zeros((1, 1, 4, 4)), "b": None}],
+    }
+
+
+def test_to_mfvi_structure():
+    p = vi.to_mfvi(small_params(), jax.random.PRNGKey(0))
+    leaf = p["a"]["conv"]
+    assert set(leaf) == {"w_mu", "w_rho", "b_mu", "b_rho"}
+    assert leaf["w_mu"].shape == (3, 3, 2, 4)
+    # bn untouched
+    assert set(p["a"]["bn"]) == {"scale", "offset"}
+    # bias=None conv gets no bias posteriors
+    assert set(p["b"][0]) == {"w_mu", "w_rho"}
+    # init distributions roughly right
+    assert float(jnp.std(leaf["w_rho"])) == pytest.approx(0.1, abs=0.05)
+    assert float(jnp.mean(leaf["w_rho"])) == pytest.approx(-3.0, abs=0.15)
+
+
+def test_kl_reverse_matches_torch():
+    """KL(prior || posterior) summed, exactly as BayTorch computes it with
+    kl_type='reverse' (module.py:64-80)."""
+    key = jax.random.PRNGKey(1)
+    p = vi.to_mfvi(small_params(), key)
+    prior_sigma = 1e-4
+
+    got = float(vi.kl_mfvi(p, 0.0, prior_sigma, kl_type="reverse"))
+
+    total = 0.0
+    s_pr = prior_sigma + vi.PRIOR_SIGMA_STABILIZER
+    for leaf in [p["a"]["conv"], p["b"][0]]:
+        for mu_k, rho_k in (("w_mu", "w_rho"), ("b_mu", "b_rho")):
+            if mu_k not in leaf:
+                continue
+            mu = torch.from_numpy(np.asarray(leaf[mu_k], np.float64))
+            rho = torch.from_numpy(np.asarray(leaf[rho_k], np.float64))
+            post = torch.distributions.Normal(mu, torch.nn.functional.softplus(rho))
+            prior = torch.distributions.Normal(
+                torch.zeros_like(mu), torch.full_like(mu, s_pr))
+            total += torch.distributions.kl_divergence(prior, post).sum().item()
+    assert got == pytest.approx(total, rel=1e-4)
+
+
+def test_kl_forward_matches_torch():
+    key = jax.random.PRNGKey(2)
+    p = vi.to_mfvi({"c": {"w": jnp.zeros((3, 3, 1, 1)), "b": None}}, key)
+    got = float(vi.kl_mfvi(p, 0.0, 0.1, kl_type="forward"))
+    mu = torch.from_numpy(np.asarray(p["c"]["w_mu"], np.float64))
+    rho = torch.from_numpy(np.asarray(p["c"]["w_rho"], np.float64))
+    post = torch.distributions.Normal(mu, torch.nn.functional.softplus(rho))
+    prior = torch.distributions.Normal(torch.zeros_like(mu),
+                                       torch.full_like(mu, 0.1 + 1e-6))
+    expected = torch.distributions.kl_divergence(post, prior).sum().item()
+    assert got == pytest.approx(expected, rel=1e-4)
+
+
+def test_kl_extreme_temperature_is_finite():
+    """POTOBIM regime: prior sigma = sqrt(2.2e-10)*1.7e-7 ~ 2.5e-12 (dominated
+    by the 1e-6 stabilizer); KL must stay finite in f32."""
+    p = vi.to_mfvi(small_params(), jax.random.PRNGKey(3))
+    sigma_pr = float(np.sqrt(2.2e-10) * 1.7e-7)
+    kl = float(vi.kl_mfvi(p, 0.0, sigma_pr))
+    assert np.isfinite(kl)
+    assert kl > 0
+
+
+def test_rt_sampling_moments():
+    """RT conv output over many keys has mean = mean-weight conv."""
+    x = jnp.ones((1, 8, 8, 2))
+    leaf = {
+        "w_mu": 0.3 * jnp.ones((3, 3, 2, 4)),
+        "w_rho": -3.0 * jnp.ones((3, 3, 2, 4)),
+        "b_mu": jnp.zeros((4,)),
+        "b_rho": -5.0 * jnp.ones((4,)),
+    }
+    outs = jax.vmap(lambda k: vi.apply_conv_leaf(
+        leaf, x, stride=1, padding=1, key=k, training=True, reparam="rt"))(
+        jax.random.split(jax.random.PRNGKey(0), 256))
+    mean = jnp.mean(outs, axis=0)
+    expected = layers.conv2d(x, leaf["w_mu"], leaf["b_mu"], 1, 1)
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(expected),
+                               atol=0.05)
+
+
+def test_lrt_matches_rt_in_distribution():
+    """LRT activation mean/var match analytic conv(mu) / conv(x^2, sigma^2)."""
+    x = jnp.asarray(np.random.default_rng(0).random((1, 6, 6, 2)),
+                    jnp.float32)
+    leaf = {
+        "w_mu": 0.1 * jnp.ones((3, 3, 2, 3)),
+        "w_rho": -2.0 * jnp.ones((3, 3, 2, 3)),
+        "b_mu": None, "b_rho": None,
+    }
+    outs = jax.vmap(lambda k: vi.apply_conv_leaf(
+        leaf, x, stride=1, padding=0, key=k, training=True, reparam="lrt"))(
+        jax.random.split(jax.random.PRNGKey(1), 2048))
+    emp_mean = jnp.mean(outs, axis=0)
+    emp_var = jnp.var(outs, axis=0)
+    act_mu = layers.conv2d(x, leaf["w_mu"], None, 1, 0)
+    sig2 = jax.nn.softplus(leaf["w_rho"]) ** 2
+    act_var = layers.conv2d(x * x, sig2, None, 1, 0)
+    np.testing.assert_allclose(np.asarray(emp_mean), np.asarray(act_mu),
+                               atol=0.05)
+    np.testing.assert_allclose(np.asarray(emp_var), np.asarray(act_var),
+                               rtol=0.25, atol=1e-4)
+
+
+def test_eval_mode_uses_posterior_mean():
+    x = jnp.ones((1, 4, 4, 2))
+    leaf = {"w_mu": jnp.ones((1, 1, 2, 2)), "w_rho": jnp.zeros((1, 1, 2, 2)),
+            "b_mu": jnp.zeros((2,)), "b_rho": jnp.zeros((2,))}
+    out = vi.apply_conv_leaf(leaf, x, stride=1, padding=0, training=False)
+    np.testing.assert_allclose(np.asarray(out), 2.0)
+
+
+def test_posterior_mean_params_roundtrip():
+    p = vi.to_mfvi(small_params(), jax.random.PRNGKey(5))
+    det = vi.posterior_mean_params(p)
+    np.testing.assert_allclose(np.asarray(det["a"]["conv"]["w"]),
+                               np.asarray(p["a"]["conv"]["w_mu"]))
+    assert det["b"][0]["b"] is None
+
+
+def test_mixture_prior_log_prob_matches_torch():
+    prior = priors.make_prior({"mu": [0.0, 0.0], "sigma": [0.1, 1.0],
+                               "pi": [0.5, 0.5]})
+    x = jnp.linspace(-2, 2, 11)
+    got = np.asarray(prior.log_prob(x))
+    tx = torch.linspace(-2, 2, 11)
+    pdf = 0.5 * torch.exp(torch.distributions.Normal(0., 0.1 + 1e-6).log_prob(tx)) \
+        + 0.5 * torch.exp(torch.distributions.Normal(0., 1.0 + 1e-6).log_prob(tx))
+    np.testing.assert_allclose(got, torch.log(pdf).numpy(), rtol=1e-4)
+
+
+def test_mc_kl_close_to_analytic_for_normals():
+    p = priors.NormalPrior(0.0, 1.0)
+    q = priors.NormalPrior(1.0, 1.0)
+    est = priors.mc_kl_divergence(jax.random.PRNGKey(0), p, q, (50000,),
+                                  n_samples=1)
+    assert float(jnp.mean(est)) == pytest.approx(0.5, abs=0.05)
