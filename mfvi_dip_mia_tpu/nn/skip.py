@@ -197,7 +197,8 @@ class SkipNet:
 
     # -- apply --------------------------------------------------------------
 
-    def _conv_site(self, s: ConvSite, leaf, x, key, training, reparam):
+    def _conv_site(self, s: ConvSite, leaf, x, key, training, reparam,
+                   dropout_p=None):
         to_pad = (s.kernel - 1) // 2
         if s.pad_mode == "reflection":
             x = layers.reflection_pad(x, to_pad)
@@ -213,52 +214,62 @@ class SkipNet:
             if site_key is None:
                 raise ValueError("dropout needs a PRNG key")
             dkey = jax.random.fold_in(site_key, 0x5eed)
+            # dropout_p may be a traced scalar override (keeps BO sweeps over
+            # dropout rates on one compiled graph)
+            p = s.dropout_p if dropout_p is None else dropout_p
             if s.dropout_mode == "2d":
-                out = layers.dropout2d(out, s.dropout_p, dkey)
+                out = layers.dropout2d(out, p, dkey)
             else:
-                out = layers.dropout(out, s.dropout_p, dkey)
+                out = layers.dropout(out, p, dkey)
         if pool == "avg":
             out = layers.avg_pool(out, s.stride)
         elif pool == "max":
             out = layers.max_pool(out, s.stride)
         return out
 
-    def _conv_bn_act(self, s: ConvSite, p, x, key, training, reparam):
-        x = self._conv_site(s, p["conv"], x, key, training, reparam)
+    def _conv_bn_act(self, s: ConvSite, p, x, key, training, reparam,
+                     dropout_p=None):
+        x = self._conv_site(s, p["conv"], x, key, training, reparam, dropout_p)
         x = layers.batch_norm_train(x, p["bn"]["scale"], p["bn"]["offset"])
         return self.act(x)
 
-    def _apply_level(self, params, i, x, key, training, reparam):
+    def _apply_level(self, params, i, x, key, training, reparam, dropout_p):
         cfg = self.levels[i]
         lv = params["levels"][i]
 
-        h = self._conv_bn_act(cfg.down1, lv["down1"], x, key, training, reparam)
-        h = self._conv_bn_act(cfg.down2, lv["down2"], h, key, training, reparam)
+        h = self._conv_bn_act(cfg.down1, lv["down1"], x, key, training,
+                              reparam, dropout_p)
+        h = self._conv_bn_act(cfg.down2, lv["down2"], h, key, training,
+                              reparam, dropout_p)
         if i < self.n_scales - 1:
-            h = self._apply_level(params, i + 1, h, key, training, reparam)
+            h = self._apply_level(params, i + 1, h, key, training, reparam,
+                                  dropout_p)
         h = layers.upsample2x(h, cfg.upsample_mode)
 
         if cfg.skip_conv is not None:
             s = self._conv_bn_act(cfg.skip_conv, lv["skip"], x, key, training,
-                                  reparam)
+                                  reparam, dropout_p)
             z = layers.concat_center_crop([s, h])
         else:
             z = h
         z = layers.batch_norm_train(z, lv["bn_cat"]["scale"],
                                     lv["bn_cat"]["offset"])
-        z = self._conv_bn_act(cfg.up, lv["up"], z, key, training, reparam)
+        z = self._conv_bn_act(cfg.up, lv["up"], z, key, training, reparam,
+                              dropout_p)
         if cfg.up1x1 is not None:
             z = self._conv_bn_act(cfg.up1x1, lv["up1x1"], z, key, training,
-                                  reparam)
+                                  reparam, dropout_p)
         return z
 
     def apply(self, params, x, key=None, training: bool = True,
-              reparam: str = "rt"):
+              reparam: str = "rt", dropout_p=None):
         """Forward pass. ``x``: NHWC. ``key`` drives weight sampling (MFVI)
-        and dropout; pass None for a purely deterministic forward."""
-        z = self._apply_level(params, 0, x, key, training, reparam)
+        and dropout; pass None for a purely deterministic forward.
+        ``dropout_p`` (optionally traced) overrides every site's rate."""
+        z = self._apply_level(params, 0, x, key, training, reparam, dropout_p)
         s = self.out_conv
-        z = self._conv_site(s, params["out"]["conv"], z, key, training, reparam)
+        z = self._conv_site(s, params["out"]["conv"], z, key, training,
+                            reparam, dropout_p)
         if self.need_sigmoid:
             z = jax.nn.sigmoid(z)
         return z

@@ -1,0 +1,151 @@
+"""End-to-end smoke + behavior tests for the generic trainer across the full
+(task x method) matrix, on small synthetic images (64^2) for CPU speed."""
+
+import numpy as np
+import pytest
+
+import mfvi_dip_mia_tpu.tasks.data as D
+from mfvi_dip_mia_tpu.tasks import build_problem
+from mfvi_dip_mia_tpu.tasks.trainer import Method, fit
+
+
+@pytest.fixture(autouse=True)
+def small_images(monkeypatch):
+    monkeypatch.setattr(D, "get_image_denoising",
+                        lambda img: (D.synthetic_xray(img, 64), (64, 64)))
+    monkeypatch.setattr(D, "get_img_superresolution",
+                        lambda img: (D.synthetic_mri(img, 64), (64, 64)))
+    monkeypatch.setattr(D, "get_img_ct",
+                        lambda img: (D.shepp_logan(64), (64, 64)))
+
+    def small_inp(img):
+        im, mask = D.synthetic_hair(img, 64)
+        return im, mask, (64, 64)
+
+    monkeypatch.setattr(D, "get_img_inpainting", small_inp)
+
+
+@pytest.fixture
+def small_nets(monkeypatch):
+    """2-scale nets: CPU jit compile of the full 5/6-scale graphs dominates
+    test time; topology correctness is covered by test_skip.py."""
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.nn import SkipNet, build_skip_net
+
+    def tiny_standard(n_channels, method, dropout_p, input_depth=16):
+        kwargs = {}
+        if method == "mcd":
+            kwargs = dict(dropout_mode_down="2d", dropout_p_down=dropout_p,
+                          dropout_mode_up="2d", dropout_p_up=dropout_p)
+        return build_skip_net(input_depth, n_channels=n_channels,
+                              pad="reflection", skip_n33d=[8, 16],
+                              skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+                              upsample_mode="bilinear", **kwargs)
+
+    monkeypatch.setattr(P, "_standard_net", tiny_standard)
+
+    real_skipnet = SkipNet
+
+    def tiny_skipnet(**kw):
+        kw["num_channels_down"] = [8, 16]
+        kw["num_channels_up"] = [8, 16]
+        kw["num_channels_skip"] = kw["num_channels_skip"][:2]
+        return real_skipnet(**kw)
+
+    monkeypatch.setattr(P, "SkipNet", tiny_skipnet)
+
+
+METHOD_PARAMS = {
+    "dip": {},
+    "mfvi": {"temp": 1e-6, "sigma": 1e-3},
+    "mcd": {"dropout_p": 0.2, "weight_decay": 1e-4},
+    "sgld": {"gamma": 0.9996, "weight_decay": 1e-4},
+}
+
+
+FAST_COMBOS = [("den", "mfvi"), ("sr", "mcd"), ("inp", "sgld"), ("ct", "dip")]
+
+
+@pytest.mark.parametrize("task,method_name", FAST_COMBOS)
+def test_smoke_fast_combinations(task, method_name, small_nets):
+    problem = build_problem(task, method_name, 0, input_depth=8)
+    method = Method(name=method_name, **METHOD_PARAMS[method_name])
+    res = fit(problem, method, num_iter=6, lr=2e-3, seed=1, show_every=3)
+    assert res.psnrs.shape == (7, 3)
+    assert res.ssims.shape == (7, 3)
+    assert np.isfinite(res.psnrs).all()
+    assert np.isfinite(res.final_psnr)
+    n_snaps = 7 // 3 + 1
+    assert res.recons.shape[0] == n_snaps
+    assert res.recons.shape[1] == problem.mean_ch
+    assert res.recons.min() >= 0 and res.recons.max() <= 1
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task", ["den", "sr", "inp", "ct"])
+@pytest.mark.parametrize("method_name", ["dip", "mfvi", "mcd", "sgld"])
+def test_smoke_all_combinations(task, method_name, small_nets):
+    if (task, method_name) in FAST_COMBOS:
+        pytest.skip("covered by the fast subset")
+    problem = build_problem(task, method_name, 0, input_depth=8)
+    method = Method(name=method_name, **METHOD_PARAMS[method_name])
+    res = fit(problem, method, num_iter=6, lr=2e-3, seed=1, show_every=3)
+    assert np.isfinite(res.psnrs).all()
+    assert np.isfinite(res.final_psnr)
+    assert res.recons.shape[1] == problem.mean_ch
+
+
+def test_den_mfvi_learns(small_nets):
+    problem = build_problem("den", "mfvi", 0, input_depth=8)
+    method = Method(name="mfvi", temp=1e-6, sigma=1e-3)
+    res = fit(problem, method, num_iter=150, lr=3e-3, seed=1, show_every=50)
+    # smoothed-recon PSNR must climb well above its start
+    assert res.final_psnr > res.psnrs[5, 2] + 2
+    assert res.final_psnr > 13
+    # uncertainty maps populated
+    assert res.uncerts_epi[-1].max() > 0
+    assert res.uncerts_ale[-1].max() > 0
+
+
+def test_den_dip_learns(small_nets):
+    problem = build_problem("den", "dip", 0, input_depth=8)
+    res = fit(problem, Method(name="dip"), num_iter=150, lr=3e-3, seed=1,
+              show_every=50)
+    assert res.final_psnr > 13
+    # dip has no uncertainty rings
+    assert res.uncerts_epi.max() == 0
+
+
+def test_sgld_lr_decays_and_noise_applied(small_nets):
+    problem = build_problem("den", "sgld", 0, input_depth=8)
+    method = Method(name="sgld", gamma=0.99, weight_decay=0.0)
+    res = fit(problem, method, num_iter=50, lr=1e-3, seed=1, show_every=25)
+    assert np.isfinite(res.psnrs).all()
+
+
+def test_ct_radon_loss_drives_reconstruction(small_nets):
+    problem = build_problem("ct", "dip", 0, input_depth=8)
+    res = fit(problem, Method(name="dip"), num_iter=150, lr=3e-3, seed=1,
+              show_every=50)
+    assert res.final_psnr > 11
+    assert res.psnrs[-1, 2] >= res.psnrs[10, 2]
+
+
+def test_ema_smoothing_parity(small_nets):
+    """out_avg seeds with the first iterate then follows 0.99/0.01 EMA:
+    mse traces must be finite from iteration 0 (no zero-initialized bias)."""
+    problem = build_problem("den", "dip", 0, input_depth=8)
+    res = fit(problem, Method(name="dip"), num_iter=5, lr=1e-3, seed=1,
+              show_every=100)
+    assert np.isfinite(res.mse_corrupted).all()
+    assert res.mse_corrupted[0] > 0
+
+
+def test_deterministic_given_seed(small_nets):
+    problem = build_problem("den", "mfvi", 0, input_depth=8)
+    method = Method(name="mfvi", temp=1e-6, sigma=1e-3)
+    r1 = fit(problem, method, num_iter=10, lr=1e-3, seed=7, show_every=100,
+             rng=np.random.default_rng(7))
+    r2 = fit(problem, method, num_iter=10, lr=1e-3, seed=7, show_every=100,
+             rng=np.random.default_rng(7))
+    np.testing.assert_allclose(r1.psnrs, r2.psnrs, rtol=1e-5)
