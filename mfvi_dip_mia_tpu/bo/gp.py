@@ -1,0 +1,160 @@
+"""Hand-rolled exact Gaussian process in JAX (float64) — the gpytorch-free
+surrogate for the BO loop.
+
+Model parity with the reference's ExactGPModel + GaussianLikelihood
+(bayesian_optimization.py:3547-3600):
+  * mean: learned constant with a Normal(15, 4) prior
+  * kernel: outputscale * RBF(lengthscale), lengthscale init 0.3,
+    raw params through softplus (gpytorch's default positive constraint)
+  * noise: 1e-4 + softplus(raw) (gpytorch GreaterThan(1e-4) default) with a
+    Gamma(0.01, 100) prior
+  * loss: -(log marginal likelihood + sum of prior log-probs) / n, optimized
+    with Adam(lr=0.05) for 2000 iterations — exactly the reference recipe.
+
+Float64 via jax.experimental.enable_x64 inside this module only (the DIP
+training path stays f32/bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+_LOG_2PI = float(np.log(2.0 * np.pi))
+JITTER = 1e-8
+
+
+class GPParams(NamedTuple):
+    raw_lengthscale: jnp.ndarray
+    raw_outputscale: jnp.ndarray
+    raw_noise: jnp.ndarray
+    mean_const: jnp.ndarray
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _inv_softplus(y):
+    return np.log(np.expm1(y))
+
+
+def lengthscale(p: GPParams):
+    return _softplus(p.raw_lengthscale)
+
+
+def outputscale(p: GPParams):
+    return _softplus(p.raw_outputscale)
+
+
+def noise(p: GPParams):
+    return 1e-4 + _softplus(p.raw_noise)
+
+
+def _rbf(x1, x2, ls):
+    d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2, axis=-1)
+    return jnp.exp(-0.5 * d2 / (ls ** 2))
+
+
+def _kernel(p: GPParams, x1, x2):
+    return outputscale(p) * _rbf(x1, x2, lengthscale(p))
+
+
+def _neg_mll(p: GPParams, x, y):
+    n = x.shape[0]
+    k = _kernel(p, x, x) + (noise(p) + JITTER) * jnp.eye(n, dtype=x.dtype)
+    chol = jnp.linalg.cholesky(k)
+    resid = y - p.mean_const
+    alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
+    mll = (-0.5 * resid @ alpha
+           - jnp.sum(jnp.log(jnp.diagonal(chol)))
+           - 0.5 * n * _LOG_2PI)
+    # gpytorch adds prior log-probs before dividing by n (_add_other_terms)
+    mean_prior = -0.5 * ((p.mean_const - 15.0) / 4.0) ** 2 \
+        - jnp.log(4.0) - 0.5 * _LOG_2PI
+    # Gamma(concentration=0.01, rate=100): logp = a*log(b) - lgamma(a)
+    #   + (a-1)*log(x) - b*x
+    nz = noise(p)
+    noise_prior = (0.01 * jnp.log(100.0) - jax.scipy.special.gammaln(0.01)
+                   + (0.01 - 1.0) * jnp.log(nz) - 100.0 * nz)
+    return -(mll + mean_prior + noise_prior) / n
+
+
+@dataclasses.dataclass
+class ExactGP:
+    """Fitted GP: posterior mean / latent variance at query points."""
+    params: GPParams
+    x_train: jnp.ndarray
+    y_train: jnp.ndarray
+    chol: jnp.ndarray
+    alpha: jnp.ndarray
+
+    def predict(self, x_query):
+        """Latent-f posterior (no observation noise), matching the
+        reference's use of gp(X) in eval mode. Accepts numpy or jnp input;
+        runs in float64."""
+        with jax.enable_x64():
+            if isinstance(x_query, jax.Array):  # incl. tracers (jit-safe)
+                x_query = x_query.astype(jnp.float64)
+            else:
+                x_query = jnp.asarray(np.asarray(x_query), jnp.float64)
+            return self._predict_x64(x_query)
+
+    def _predict_x64(self, x_query):
+        p = self.params
+        k_star = _kernel(p, x_query, self.x_train)
+        mean = p.mean_const + k_star @ self.alpha
+        v = jax.scipy.linalg.solve_triangular(self.chol, k_star.T, lower=True)
+        var = outputscale(p) - jnp.sum(v * v, axis=0)
+        return mean, jnp.maximum(var, 0.0)
+
+    @property
+    def hyperparams(self):
+        p = self.params
+        return {"lengthscale": float(lengthscale(p)),
+                "outputscale": float(outputscale(p)),
+                "noise": float(noise(p)),
+                "mean": float(p.mean_const)}
+
+
+def train_gp(x_train, y_train, iter_max: int = 2000, lr: float = 0.05,
+             verbose: bool = False) -> ExactGP:
+    """Fit hyperparameters by Adam on the exact MLL (reference recipe)."""
+    with jax.enable_x64():
+        x = jnp.asarray(np.asarray(x_train), jnp.float64)
+        y = jnp.asarray(np.asarray(y_train), jnp.float64)
+
+        p = GPParams(
+            raw_lengthscale=jnp.asarray(_inv_softplus(0.3), jnp.float64),
+            raw_outputscale=jnp.asarray(0.0, jnp.float64),
+            raw_noise=jnp.asarray(0.0, jnp.float64),
+            mean_const=jnp.asarray(0.0, jnp.float64),
+        )
+        opt = optax.adam(lr)
+        opt_state = opt.init(p)
+
+        loss_grad = jax.jit(jax.value_and_grad(_neg_mll))
+
+        @jax.jit
+        def step(p, opt_state):
+            loss, g = jax.value_and_grad(_neg_mll)(p, x, y)
+            updates, opt_state = opt.update(g, opt_state)
+            return optax.apply_updates(p, updates), opt_state, loss
+
+        for i in range(iter_max):
+            p, opt_state, loss = step(p, opt_state)
+            if verbose and i % 100 == 0:
+                print(f"GP iter {i + 1:4d}/{iter_max} - loss {float(loss):.4f} "
+                      f"lengthscale {float(lengthscale(p)):.3f} "
+                      f"noise {float(noise(p)):.4f}")
+
+        n = x.shape[0]
+        k = _kernel(p, x, x) + (noise(p) + JITTER) * jnp.eye(n, dtype=jnp.float64)
+        chol = jnp.linalg.cholesky(k)
+        alpha = jax.scipy.linalg.cho_solve((chol, True), y - p.mean_const)
+        return ExactGP(params=p, x_train=x, y_train=y, chol=chol, alpha=alpha)

@@ -1,0 +1,189 @@
+"""The Bayesian-optimization outer loop (parity: bayesian_optimization.py:
+3727-3887) with round-checkpointed state and resume.
+
+Per round: fan candidates out across devices -> filter NaN -> accumulate
+(X, Y) -> fit the exact GP -> EI grid + peak search + L-BFGS refinement ->
+next candidates -> save ``{round}_fig_data.npz`` (the reference's BO-state
+artifact) and optionally the 4 diagnostic figures.
+
+Resume (an addition over the reference, per its own failure-handling gap):
+``resume=True`` reloads observed (X, Y) and the next candidates from the
+highest-numbered ``*_fig_data.npz`` in ``bo_results_path`` and continues.
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import os
+import re
+from pathlib import Path
+
+import numpy as np
+
+from .acquisition import find_candidates
+from .gp import train_gp
+from .normalize import normalize_X, unnormalize_X
+from ..parallel.fanout import run_candidates, TASK_ALIASES
+
+
+def _grid(p1_logbounds, p2_logbounds, n=100):
+    x1 = np.logspace(p1_logbounds[0], p1_logbounds[1], n)
+    x2 = np.logspace(p2_logbounds[0], p2_logbounds[1], n)
+    xx1, xx2 = np.meshgrid(x1, x2, indexing="ij")  # torch.meshgrid default
+    grid = np.stack([xx1.reshape(-1), xx2.reshape(-1)], axis=1)
+    return xx1, xx2, grid
+
+
+def _load_resume_state(bo_out_path):
+    files = glob.glob(os.path.join(bo_out_path, "*_fig_data.npz"))
+    if not files:
+        return None
+    rounds = [(int(re.match(r"(\d+)_fig_data", os.path.basename(f)).group(1)),
+               f) for f in files if re.match(r"\d+_fig_data",
+                                             os.path.basename(f))]
+    if not rounds:
+        return None
+    k, path = max(rounds)
+    z = np.load(path)
+    return {
+        "round": k + 1,
+        "X": [tuple(row) for row in z["observed_X"]],
+        "Y": list(z["observed_Y"]),
+        "candidates": [tuple(row) for row in z["candidates"]],
+    }
+
+
+def evaluate_candidates(task, bayes, bo_params, run_params, runner=None):
+    """Single-round fixed-candidate evaluation (eval_result.py:19-58 parity).
+    Returns (candidates, psnrs) and prints the table."""
+    run_params = dict(run_params)
+    run_params.pop("bo_results_path", None)
+    devices = run_params.pop("devices", None)
+    names = list(bo_params.keys())
+    candidates = list(itertools.product(
+        *[v["candidates"] for v in bo_params.values()]))
+    kept_c, kept_y = run_candidates(task, bayes, candidates, run_params,
+                                    devices, runner=runner)
+    print()
+    print(f"{names[0]}      {names[1] if len(names) > 1 else ''}       psnr")
+    for c, y in zip(kept_c, kept_y):
+        print("  ".join(f"{v:.6f}" for v in c) + f"  {y:.6f}")
+    return kept_c, kept_y
+
+
+def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
+       n_rounds: int = 20, acq_fn: str = "ei", plot: bool = True,
+       resume: bool = False, runner=None, gp_iters: int = 2000):
+    """Run the full BO sweep. Returns (X, Y) of all observations."""
+    task = TASK_ALIASES[task]
+    run_params = dict(run_params)
+    bo_out_path = run_params.pop("bo_results_path")
+    Path(bo_out_path).mkdir(parents=True, exist_ok=True)
+    devices = run_params.pop("devices", None)
+
+    (p1_logbounds, p2_logbounds) = [v["logbounds"] for v in bo_params.values()]
+    xx1, xx2, grid_unnorm = _grid(p1_logbounds, p2_logbounds)
+    grid_norm = normalize_X(grid_unnorm, p1_logbounds, p2_logbounds)
+
+    candidates = list(itertools.product(
+        *[v["candidates"] for v in bo_params.values()]))
+    X, Y = [], []
+    start_round = 0
+
+    if resume:
+        state = _load_resume_state(bo_out_path)
+        if state is not None:
+            X, Y = state["X"], state["Y"]
+            candidates = state["candidates"]
+            start_round = state["round"]
+            print(f"[bo] resuming from round {start_round} "
+                  f"({len(X)} observations)")
+
+    names = list(bo_params.keys())
+    for runs_num in range(start_round, n_rounds):
+        kept_c, kept_y = run_candidates(task, bayes, candidates, run_params,
+                                        devices, runner=runner)
+        print()
+        print(f"{names[0]}      {names[1]}       psnr")
+        for c, y in zip(kept_c, kept_y):
+            print(f"{c[0]:.6f}  {c[1]:.6f}  {y:.6f}")
+
+        X += kept_c
+        Y += kept_y
+        if not X:
+            raise RuntimeError("all candidates failed in round "
+                               f"{runs_num}; nothing to fit")
+
+        x_train = normalize_X(np.asarray(X, np.float64), p1_logbounds,
+                              p2_logbounds)
+        y_train = np.asarray(Y, np.float64)
+        gp = train_gp(x_train, y_train, iter_max=gp_iters)
+
+        cand_norm, exp_imp, acq = find_candidates(gp, grid_norm, x_train,
+                                                  acq_fn)
+        candidates = [tuple(row) for row in
+                      unnormalize_X(cand_norm, p1_logbounds, p2_logbounds)]
+
+        pred_mean, pred_var = (np.asarray(a) for a in gp.predict(grid_norm))
+        confidence = 4.0 * np.sqrt(pred_var)  # gpytorch confidence_region width
+
+        np.savez(
+            os.path.join(bo_out_path, f"{runs_num}_fig_data.npz"),
+            XX_lr=xx1, XX_wd=xx2,
+            pred=pred_mean.reshape(100, 100),
+            observed_X=np.asarray(X), observed_Y=np.asarray(Y),
+            expected_improvement=np.asarray(exp_imp),
+            confidence=confidence.reshape(100, 100),
+            acq=acq.reshape(100, 100),
+            candidates=np.asarray(candidates),
+        )
+
+        if plot:
+            _round_figures(bo_out_path, runs_num, xx1, xx2,
+                           pred_mean.reshape(100, 100),
+                           confidence.reshape(100, 100),
+                           acq.reshape(100, 100), np.asarray(X),
+                           np.asarray(candidates), exp_imp)
+        print(f"[bo] round {runs_num} done: best psnr so far "
+              f"{max(Y):.3f}; gp {gp.hyperparams}")
+
+    return X, Y
+
+
+def _round_figures(out, k, xx1, xx2, pred, conf, acq, observed, candidates,
+                   exp_imp):
+    """The reference's 4 per-round diagnostic figures (:3816-3874)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib import cm
+
+    def contour(data, points, title, fname, label):
+        fig, ax = plt.subplots()
+        ln = ax.contourf(xx1, xx2, data)
+        if len(points):
+            ax.plot(points[:, 0], points[:, 1], "g.", label=label)
+        ax.set_title(title)
+        fig.colorbar(ln, ax=ax)
+        ax.set_xlabel("beta")
+        ax.set_ylabel("tau")
+        ax.loglog()
+        fig.tight_layout()
+        fig.savefig(os.path.join(out, fname), bbox_inches="tight")
+        plt.close(fig)
+
+    contour(pred, observed, f"{k} mean acc", f"{k}_fig1.pdf", "observed")
+    contour(conf, observed, f"{k} uncertainty", f"{k}_fig2.pdf", "observed")
+    contour(acq, candidates, f"{k} acq_fun", f"{k}_fig3.pdf", "candidates")
+
+    fig4, ax4 = plt.subplots(subplot_kw={"projection": "3d"})
+    ax4.plot_surface(np.log10(xx1), np.log10(xx2), acq, cmap=cm.jet,
+                     linewidth=0, antialiased=False)
+    if len(candidates):
+        ax4.plot(np.log10(candidates[:, 0]), np.log10(candidates[:, 1]),
+                 exp_imp, "gx")
+    ax4.set_title(f"{k} acq_fun")
+    fig4.tight_layout()
+    fig4.savefig(os.path.join(out, f"{k}_fig4.pdf"), bbox_inches="tight")
+    plt.close(fig4)

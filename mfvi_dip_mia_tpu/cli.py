@@ -1,0 +1,37 @@
+"""BO sweep CLI — parity with ``python bayesian_optimization.py``
+(ref :3890-3914):
+
+    python -m mfvi_dip_mia_tpu.cli --task denoising --bayes mfvi \
+        --config configs/bo_mfvi_den.json [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .bo.loop import bo
+from .utils.config import load_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--task", type=str, default="denoising")
+    parser.add_argument("--bayes", type=str, default="mfvi")
+    parser.add_argument("--config", type=str,
+                        default="./configs/bo_den.json")
+    parser.add_argument("--rounds", type=int, default=20)
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the last *_fig_data.npz round")
+    parser.add_argument("--no-plot", action="store_true")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config)
+    bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
+                 for k, v in config.bo_params.items()}
+    bo(task=args.task, bayes=args.bayes, bo_params=bo_params,
+       run_params=config.run_params, n_rounds=args.rounds,
+       plot=not args.no_plot, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,33 @@
+"""Fixed-candidate evaluation CLI — parity with ``python eval_result.py``
+(ref eval_result.py:61-85): runs the configured candidates once (no GP) and
+prints the (candidate, psnr) table. This is the paper-reproduction path using
+the pinned optima in configs/test_*.json.
+
+    python -m mfvi_dip_mia_tpu.eval_cli --task ct --bayes mfvi \
+        --config configs/test_mfvi_ct.json
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .bo.loop import evaluate_candidates
+from .utils.config import load_config
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--task", type=str, default="denoising")
+    parser.add_argument("--bayes", type=str, default="mfvi")
+    parser.add_argument("--config", type=str,
+                        default="./configs/test_mfvi_den.json")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config)
+    bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
+                 for k, v in config.bo_params.items()}
+    evaluate_candidates(args.task, args.bayes, bo_params, config.run_params)
+
+
+if __name__ == "__main__":
+    main()

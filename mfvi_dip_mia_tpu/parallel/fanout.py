@@ -1,0 +1,92 @@
+"""Candidate -> device fanout: the TPU-native replacement for the reference's
+process-per-GPU torch.multiprocessing dispatch (bayesian_optimization.py:
+3709-3775).
+
+Design: one *thread* per candidate, round-robined over devices. Threads are
+the right unit on TPU — jit dispatch releases the GIL, per-device executions
+overlap, and (unlike the reference's spawn-per-candidate) all candidates of a
+method share ONE compiled executable (hyperparameters are traced; see
+tasks/trainer.py), so a new BO round costs zero recompilation and zero
+process startup.
+
+Failure semantics match the reference: a crashed/NaN candidate contributes
+nothing — it is logged, filtered, and the sweep continues (:3767-3781).
+The reference's NaN filter has an index-shift bug when multiple NaNs occur
+(`del candidates_run[i]` while enumerating, :3778-3781); here pairs are
+filtered together, correctly.
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from typing import Sequence
+
+import numpy as np
+
+TASK_ALIASES = {
+    "denoising": "den", "den": "den",
+    "inpainting": "inp", "inp": "inp",
+    "super-resolution": "sr", "sr": "sr",
+    "ct": "ct",
+}
+
+_METHOD_AXES = {
+    # ref :3715-3718
+    "mfvi": ("temp", "sigma"),
+    "mcd": ("dropout_p", "weight_decay"),
+    "sgld": ("gamma", "weight_decay"),
+    "dip": (),
+}
+
+
+def candidate_kwargs(bayes: str, candidate) -> dict:
+    axes = _METHOD_AXES[bayes]
+    return {name: float(candidate[i]) for i, name in enumerate(axes)}
+
+
+def run_candidates(task: str, bayes: str, candidates: Sequence,
+                   run_params: dict, devices=None, runner=None):
+    """Evaluate every candidate concurrently; returns
+    (kept_candidates, kept_scores) with NaN/crashed candidates dropped.
+
+    ``devices``: list of jax.Device / "tpu:0"-style strings / None for all
+    local devices. ``runner`` overrides the runner callable (tests)."""
+    import jax
+    from ..tasks.runners import run_task, resolve_device
+
+    task = TASK_ALIASES[task]
+    if runner is None:
+        def runner(idx, dev, cand):
+            return run_task(task, bayes, index=idx, device=dev,
+                            **candidate_kwargs(bayes, cand), **run_params)
+
+    if devices is None:
+        devices = jax.devices()
+    devices = [resolve_device(d) for d in devices]
+
+    results = [None] * len(candidates)
+
+    def work(idx, cand, dev):
+        try:
+            results[idx] = float(runner(idx, dev, cand))
+        except Exception:
+            print(f"[fanout] candidate {cand} failed on {dev}:\n"
+                  f"{traceback.format_exc()}", flush=True)
+            results[idx] = float("nan")
+
+    threads = []
+    for i, cand in enumerate(candidates):
+        dev = devices[i % len(devices)]
+        t = threading.Thread(target=work, args=(i, cand, dev), daemon=True)
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join()
+
+    kept_c, kept_y = [], []
+    for cand, y in zip(candidates, results):
+        if y is not None and np.isfinite(y):
+            kept_c.append(tuple(np.asarray(cand, np.float64)))
+            kept_y.append(y)
+    return kept_c, kept_y
