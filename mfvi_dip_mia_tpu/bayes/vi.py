@@ -22,18 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from ..nn import init as init_lib
-from ..nn import layers
-
+from ..nn.var_conv import (apply_conv_leaf, is_conv_leaf,  # noqa: F401
+                           is_variational_leaf)
 
 PRIOR_SIGMA_STABILIZER = 1e-6  # ref BayTorch/modules/module.py:38
-
-
-def is_conv_leaf(node) -> bool:
-    return isinstance(node, dict) and ("w" in node or "w_mu" in node)
-
-
-def is_variational_leaf(node) -> bool:
-    return isinstance(node, dict) and "w_mu" in node
 
 
 def _map_conv_leaves(tree, fn, key):
@@ -135,50 +127,3 @@ def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
             kl = _kl_normal_normal(mu, sigma_post, prior_mu, sigma_pr)
         total = total + jnp.sum(kl)
     return total
-
-
-# ---------------------------------------------------------------------------
-# conv-leaf application: deterministic / RT / LRT
-# ---------------------------------------------------------------------------
-
-def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
-                    training: bool = True, reparam: str = "rt") -> jnp.ndarray:
-    """Apply one conv site given its parameter leaf.
-
-    * deterministic leaf {'w','b'} -> plain conv
-    * variational leaf, reparam='rt'  -> sample W = mu + softplus(rho)*eps per
-      forward (ref BayTorch/modules/reparam_layers.py:26-37)
-    * variational leaf, reparam='lrt' -> local reparameterization: sample in
-      activation space with std = sqrt(conv(x^2, sigma^2) + bias_var + 1e-16)
-      (ref BayTorch/modules/reparam_layers.py:58-72)
-    * eval mode (training=False) -> posterior mean weights
-    """
-    if not is_variational_leaf(leaf):
-        return layers.conv2d(x, leaf["w"], leaf.get("b"), stride, padding)
-
-    w_mu, w_rho = leaf["w_mu"], leaf["w_rho"]
-    b_mu = leaf.get("b_mu")
-    b_rho = leaf.get("b_rho")
-
-    if not training:
-        return layers.conv2d(x, w_mu, b_mu, stride, padding)
-    if key is None:
-        raise ValueError("variational conv needs a PRNG key when training")
-
-    if reparam == "lrt":
-        act_mu = layers.conv2d(x, w_mu, b_mu, stride, padding)
-        w_var = jax.nn.softplus(w_rho) ** 2
-        act_var = layers.conv2d(x * x, w_var, None, stride, padding)
-        if b_rho is not None:
-            act_var = act_var + jax.nn.softplus(b_rho) ** 2
-        act_std = jnp.sqrt(1e-16 + act_var)
-        eps = jax.random.normal(key, act_mu.shape, act_mu.dtype)
-        return act_mu + act_std * eps
-
-    # RT: weight-space sampling.
-    kw, kb = jax.random.split(key)
-    w = w_mu + jax.nn.softplus(w_rho) * jax.random.normal(kw, w_mu.shape, w_mu.dtype)
-    b = None
-    if b_mu is not None:
-        b = b_mu + jax.nn.softplus(b_rho) * jax.random.normal(kb, b_mu.shape, b_mu.dtype)
-    return layers.conv2d(x, w, b, stride, padding)

@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from . import init as init_lib
 from . import layers
-from ..bayes.vi import apply_conv_leaf
+from .var_conv import apply_conv_leaf
 
 
 @dataclasses.dataclass(frozen=True)

@@ -258,6 +258,30 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     return run_chunk
 
 
+def _get_init_fn(problem: Problem, method_name: str, optimizer,
+                 init_normal_std):
+    """One jit'd initializer: the eager per-leaf init is ~200 separate device
+    dispatches (tens of seconds through a remote-TPU tunnel); fused it is one.
+    Cached per (net, method) like the chunk runner."""
+    per_net = _RUN_CHUNK_CACHE.setdefault(problem.net, {})
+    cache_key = ("init", method_name, init_normal_std)
+    if cache_key in per_net:
+        return per_net[cache_key]
+
+    @jax.jit
+    def init_fn(k_init, k_mfvi, k_reinit):
+        params = problem.net.init(k_init)
+        if init_normal_std is not None:
+            params = reinit_conv_weights_normal(params, k_reinit,
+                                                init_normal_std)
+        if method_name == "mfvi":
+            params = vi.to_mfvi(params, k_mfvi)
+        return params, optimizer.init(params)
+
+    per_net[cache_key] = init_fn
+    return init_fn
+
+
 def _build_optimizer(method: Method, lr: float):
     """AdamW with lr/weight_decay as *state-resident* (traced) hyperparams.
     SGLD's decayed lr and the per-method weight decay are written into
@@ -296,16 +320,18 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
 
     key = jax.random.PRNGKey(seed)
     k_init, k_mfvi, k_reinit, k_train = jax.random.split(key, 4)
-
-    params = problem.net.init(k_init)
-    if problem.init_normal_std is not None:
-        params = reinit_conv_weights_normal(params, k_reinit,
-                                            problem.init_normal_std)
-    if method.name == "mfvi":
-        params = vi.to_mfvi(params, k_mfvi)
+    if device is not None:
+        k_init, k_mfvi, k_reinit = jax.device_put((k_init, k_mfvi, k_reinit),
+                                                  device)
 
     optimizer = _build_optimizer(method, lr)
-    opt_state = optimizer.init(params)
+    init_fn = _get_init_fn(problem, method.name, optimizer,
+                           problem.init_normal_std)
+    params, opt_state = init_fn(k_init, k_mfvi, k_reinit)
+    # warm the device->host transfer path (first transfer through a remote
+    # TPU tunnel can pay a one-time multi-second setup; keep it out of the
+    # per-chunk accounting)
+    np.asarray(jax.tree.leaves(params)[0]).ravel()[:1]
 
     n_out = {"ct": 1, "den": 2, "sr": 2, "inp": 4}[problem.task]
 
