@@ -78,14 +78,71 @@ def _bilinear_gather(img: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray
     return out
 
 
+_MATRIX_CACHE: dict = {}
+
+
+def _build_projection_matrix(theta_deg, h: int, w: int) -> np.ndarray:
+    """Dense exact projection matrix A with A[t*W + j, y*W + x] = the total
+    bilinear rotate-and-sum weight of input pixel (y, x) on sinogram bin
+    (t, j). Same corner/weight math as the gather path, so the two modes
+    agree to float tolerance.
+
+    Rationale (TPU): the bilinear rotation is inherently a gather — 12M
+    random reads per forward, ~85 ms on a v5e. As a (T*W, H*W) matmul the
+    same contraction rides the MXU and is HBM-bandwidth-bound instead
+    (~3 GB @ f32 for 45 angles at 256^2 -> single-digit ms). The adjoint
+    reuses the same matrix transposed.
+    """
+    theta_rad = np.deg2rad(np.asarray(theta_deg, np.float64))
+    t_count = len(theta_rad)
+
+    jj = (2.0 * np.arange(w) + 1.0) / w - 1.0
+    ii = (2.0 * np.arange(h) + 1.0) / h - 1.0
+    x = np.broadcast_to(jj[None, :], (h, w))
+    y = np.broadcast_to(ii[:, None], (h, w))
+
+    a = np.zeros((t_count * w, h * w), np.float32)
+    rows = np.broadcast_to(np.arange(w)[None, :], (h, w)).ravel()
+
+    for t, th in enumerate(theta_rad):
+        c, s = np.cos(th), np.sin(th)
+        gx = c * x - s * y
+        gy = s * x + c * y
+        ix = ((gx + 1.0) * w - 1.0) / 2.0
+        iy = ((gy + 1.0) * h - 1.0) / 2.0
+        x0 = np.floor(ix)
+        y0 = np.floor(iy)
+        fx = (ix - x0).ravel()
+        fy = (iy - y0).ravel()
+        x0 = x0.ravel().astype(np.int64)
+        y0 = y0.ravel().astype(np.int64)
+        block = a[t * w:(t + 1) * w]
+        for dy, dx, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                            (0, 1, fx * (1 - fy)),
+                            (1, 0, (1 - fx) * fy),
+                            (1, 1, fx * fy)):
+            xc, yc = x0 + dx, y0 + dy
+            valid = (xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+            np.add.at(block,
+                      (rows[valid], yc[valid] * w + xc[valid]),
+                      wgt[valid].astype(np.float32))
+    return a
+
+
 class FastRadonTransform:
     """Static-config Radon operator: ``op(image_nhwc) -> sinogram``.
 
     image: (B, H, W, C) with H == W; sinogram: (B, T, W, C).
     ``theta`` in degrees (defaults to arange(180) like the reference).
+
+    ``mode``: 'matmul' (dense exact projection matrix on the MXU — the TPU
+    default), 'gather' (coordinate-generating bilinear gather — the memory-
+    light fallback), or 'auto' (matmul when the matrix fits the budget).
     """
 
-    def __init__(self, image_size, theta=None):
+    MATMUL_BUDGET_BYTES = 4 * 1024 ** 3
+
+    def __init__(self, image_size, theta=None, mode: str = "auto"):
         # image_size: (B, H, W, C)
         h, w = int(image_size[1]), int(image_size[2])
         assert h == w, "Radon operator expects square images"
@@ -95,8 +152,36 @@ class FastRadonTransform:
         self.theta_rad = jnp.asarray(np.deg2rad(self.theta_deg))
         self.h, self.w = h, w
         self.n_angles = len(self.theta_deg)
+        if mode == "auto":
+            nbytes = self.n_angles * w * h * w * 4
+            mode = "matmul" if nbytes <= self.MATMUL_BUDGET_BYTES else "gather"
+        self.mode = mode
 
-    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+    @property
+    def matrix_bytes(self) -> int:
+        return self.n_angles * self.w * self.h * self.w * 4
+
+    def matrix(self) -> jnp.ndarray:
+        """The (T*W, H*W) projection matrix on the default device (cached).
+        IMPORTANT: inside jit, pass this as an *argument* (see ``apply``) —
+        a multi-GB matrix captured as a closure constant gets embedded in the
+        lowered program (and breaks remote compilation outright)."""
+        key = (tuple(self.theta_deg.tolist()), self.h, self.w,
+               str(jax.devices()[0]))
+        if key not in _MATRIX_CACHE:
+            a = _build_projection_matrix(self.theta_deg, self.h, self.w)
+            _MATRIX_CACHE[key] = jax.device_put(a)
+        return _MATRIX_CACHE[key]
+
+    def apply(self, image: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
+        """Matmul-mode forward with an explicitly threaded matrix (jit-safe)."""
+        b, h, w, c = image.shape
+        flat = image.reshape(b, h * w, c)
+        sino = jnp.einsum("pq,bqc->bpc", matrix, flat,
+                          preferred_element_type=jnp.float32)
+        return sino.reshape(b, self.n_angles, self.w, c)
+
+    def _gather_call(self, image: jnp.ndarray) -> jnp.ndarray:
         ix, iy = _rotation_coords(self.theta_rad, self.h, self.w)
 
         def per_image(img):
@@ -104,6 +189,18 @@ class FastRadonTransform:
             return jnp.sum(rot, axis=1)              # (T, w, c)
 
         return jax.vmap(per_image)(image)
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        if self.mode == "matmul":
+            if (isinstance(image, jax.core.Tracer)
+                    and self.matrix_bytes > 256 * 1024 ** 2):
+                raise RuntimeError(
+                    "FastRadonTransform(mode='matmul') called under jit with "
+                    "a large projection matrix: thread it as an argument via "
+                    "op.apply(image, op.matrix()) / Problem.op_state instead "
+                    "of capturing it as a constant")
+            return self.apply(image, self.matrix())
+        return self._gather_call(image)
 
     def adjoint(self, sinogram: jnp.ndarray) -> jnp.ndarray:
         """Exact adjoint A^T (unfiltered backprojection), via autodiff of the

@@ -62,18 +62,27 @@ class Problem:
     sr_factor: int = 4
     has_ale: bool = False         # network outputs a neg-logvar channel used
     init_normal_std: Optional[float] = None  # sr_mcd quirk
+    # operator state (e.g. the Radon projection matrix): a device array that
+    # must flow through jit as an ARGUMENT — the trainer threads it via the
+    # data dict so multi-GB operators never become captured constants.
+    op_state: Optional[jnp.ndarray] = None
+
+    def apply_operator(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.op_state is not None:
+            return self.operator(x, self.op_state)
+        return self.operator(x)
 
     # -- loss ---------------------------------------------------------------
     def data_loss(self, out: jnp.ndarray) -> jnp.ndarray:
         t, m = self.task, self.method
         if t == "ct":
-            return losses.mse_loss(self.operator(out), self.target)
+            return losses.mse_loss(self.apply_operator(out), self.target)
         if t == "den":
             if m in ("dip", "sgld"):
                 return losses.mse_loss(out[..., :1], self.target)
             return losses.gaussian_nll(out[..., :1], out[..., 1:], self.target)
         if t == "sr":
-            out_lr = self.operator(out)
+            out_lr = self.apply_operator(out)
             if m == "dip":
                 return losses.mse_loss(out_lr[..., :1], self.target)
             return losses.gaussian_nll(out_lr[..., :1], out_lr[..., 1:],
@@ -130,8 +139,8 @@ class Problem:
                                ssim(self.gt, oa)])
             return jnp.concatenate([jnp.stack([mse_c, mse_g]), row_p, row_s])
         if self.task == "sr":
-            out_lr = jnp.clip(self.operator(out_t)[..., :1], 0, 1)
-            mse_c = losses.mse_loss(self.operator(out_avg)[..., :1], self.target)
+            out_lr = jnp.clip(self.apply_operator(out_t)[..., :1], 0, 1)
+            mse_c = losses.mse_loss(self.apply_operator(out_avg)[..., :1], self.target)
             mse_g = losses.mse_loss(out_avg[..., :1], self.gt)
             row_p = jnp.stack([psnr(self.target, out_lr), psnr(self.gt, o),
                                psnr(self.gt, oa)])
@@ -225,10 +234,14 @@ def build_problem(task: str, method: str, img: int, *, p_sigma: float = 0.1,
         radon = FastRadonTransform(gt.shape, _CT_THETA)
         target = radon(gt)
         net = _standard_net(1, method, dropout_p, input_depth)
+        if radon.mode == "matmul":
+            operator, op_state = radon.apply, radon.matrix()
+        else:
+            operator, op_state = radon, None
         return Problem(task, method, net, input_depth, img_np.shape[1:], 1,
-                       gt, target, None, radon, img_np,
+                       gt, target, None, operator, img_np,
                        np.asarray(target)[0].transpose(2, 0, 1),
-                       has_ale=False)
+                       has_ale=False, op_state=op_state)
 
     raise ValueError(f"unknown task {task!r}")
 

@@ -75,7 +75,8 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
              input_depth: int = 16, device=None, index: int = 0,
              seed: int = 42, show_every: int = 100, plot: bool = True,
              save: bool = True, save_path: str = "./logs",
-             log_every_chunk: bool = False, **kwargs) -> float:
+             log_every_chunk: bool = False, metrics_every: int = 1,
+             **kwargs) -> float:
     """Generic runner; the 16 named wrappers below pin (task, method)."""
     from ..utils import viz
 
@@ -110,6 +111,8 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
         problem.target = jax.device_put(problem.target, dev)
         if problem.mask is not None:
             problem.mask = jax.device_put(problem.mask, dev)
+        if problem.op_state is not None:
+            problem.op_state = jax.device_put(problem.op_state, dev)
 
     method = Method(name=method_name, temp=temp, sigma=sigma,
                     dropout_p=dropout_p, weight_decay=weight_decay,
@@ -136,6 +139,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
 
     res = fit(problem, method, num_iter=num_iter, lr=lr, seed=seed,
               show_every=show_every, rng=rng, device=dev,
+              metrics_every=metrics_every,
               log_fn=log_fn if log_every_chunk else None,
               snapshot_fn=snapshot_fn if plot else None)
 

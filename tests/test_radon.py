@@ -48,6 +48,31 @@ def test_radon_multichannel(rng):
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("size,step", [(32, 12.0), (64, 45.0)])
+def test_matmul_mode_matches_gather(rng, size, step):
+    """The dense MXU projection matrix computes exactly the same contraction
+    as the bilinear gather (same corner/weight math)."""
+    theta = np.arange(0.0, 180.0, step)
+    img = jnp.asarray(rng.random((1, size, size, 1)).astype(np.float32))
+    op_g = FastRadonTransform((1, size, size, 1), theta, mode="gather")
+    op_m = FastRadonTransform((1, size, size, 1), theta, mode="matmul")
+    np.testing.assert_allclose(np.asarray(op_m(img)), np.asarray(op_g(img)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_matmul_mode_jit_safe_via_apply(rng):
+    theta = np.arange(0.0, 180.0, 30.0)
+    op = FastRadonTransform((1, 32, 32, 1), theta, mode="matmul")
+    img = jnp.asarray(rng.random((1, 32, 32, 1)).astype(np.float32))
+    mat = op.matrix()
+
+    @jax.jit
+    def f(img, mat):
+        return jnp.sum(op.apply(img, mat))
+
+    assert np.isfinite(float(f(img, mat)))
+
+
 def test_adjoint_dot_product_identity(rng):
     """<A x, y> == <x, A^T y> to float tolerance."""
     size = 32
