@@ -135,9 +135,14 @@ class FastRadonTransform:
     image: (B, H, W, C) with H == W; sinogram: (B, T, W, C).
     ``theta`` in degrees (defaults to arange(180) like the reference).
 
-    ``mode``: 'matmul' (dense exact projection matrix on the MXU — the TPU
-    default), 'gather' (coordinate-generating bilinear gather — the memory-
-    light fallback), or 'auto' (matmul when the matrix fits the budget).
+    ``mode``:
+      * 'matmul' — dense exact f32 projection matrix on the MXU (TPU default)
+      * 'pallas' — the custom Pallas kernel (bf16-stored matrix, f32
+        accumulation, transpose-free custom VJP): ~2x the matmul mode's
+        training throughput at <1e-2 relative operator error
+      * 'gather' — coordinate-generating bilinear gather (memory-light
+        fallback, the natural CPU path)
+      * 'auto'   — matmul when the matrix fits the budget, else gather.
     """
 
     MATMUL_BUDGET_BYTES = 4 * 1024 ** 3
@@ -153,6 +158,9 @@ class FastRadonTransform:
         self.h, self.w = h, w
         self.n_angles = len(self.theta_deg)
         if mode == "auto":
+            import os
+            mode = os.environ.get("MFVI_DIP_RADON", "auto")
+        if mode == "auto":
             nbytes = self.n_angles * w * h * w * 4
             mode = "matmul" if nbytes <= self.MATMUL_BUDGET_BYTES else "gather"
         self.mode = mode
@@ -163,18 +171,27 @@ class FastRadonTransform:
 
     def matrix(self) -> jnp.ndarray:
         """The (T*W, H*W) projection matrix on the default device (cached).
-        IMPORTANT: inside jit, pass this as an *argument* (see ``apply``) —
-        a multi-GB matrix captured as a closure constant gets embedded in the
-        lowered program (and breaks remote compilation outright)."""
-        key = (tuple(self.theta_deg.tolist()), self.h, self.w,
+        In 'pallas' mode: tile-padded bf16. IMPORTANT: inside jit, pass this
+        as an *argument* (see ``apply``) — a multi-GB matrix captured as a
+        closure constant gets embedded in the lowered program (and breaks
+        remote compilation outright)."""
+        key = (tuple(self.theta_deg.tolist()), self.h, self.w, self.mode,
                str(jax.devices()[0]))
         if key not in _MATRIX_CACHE:
             a = _build_projection_matrix(self.theta_deg, self.h, self.w)
-            _MATRIX_CACHE[key] = jax.device_put(a)
+            if self.mode == "pallas":
+                from .pallas.radon_kernel import prepare_matrix_bf16
+                _MATRIX_CACHE[key] = jax.device_put(prepare_matrix_bf16(a))
+            else:
+                _MATRIX_CACHE[key] = jax.device_put(a)
         return _MATRIX_CACHE[key]
 
     def apply(self, image: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-        """Matmul-mode forward with an explicitly threaded matrix (jit-safe)."""
+        """Matmul/pallas forward with an explicitly threaded matrix
+        (jit-safe)."""
+        if self.mode == "pallas":
+            from .pallas.radon_kernel import radon_apply_pallas
+            return radon_apply_pallas(image, matrix, self.n_angles)
         b, h, w, c = image.shape
         flat = image.reshape(b, h * w, c)
         sino = jnp.einsum("pq,bqc->bpc", matrix, flat,
@@ -191,7 +208,7 @@ class FastRadonTransform:
         return jax.vmap(per_image)(image)
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
-        if self.mode == "matmul":
+        if self.mode in ("matmul", "pallas"):
             if (isinstance(image, jax.core.Tracer)
                     and self.matrix_bytes > 256 * 1024 ** 2):
                 raise RuntimeError(
