@@ -26,6 +26,7 @@ Parity semantics preserved (each with its reference line):
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -300,12 +301,36 @@ def _build_optimizer(method: Method, lr: float):
                                                  weight_decay=wd)
 
 
+def save_fit_checkpoint(path: str, state: TrainState, chunk: int,
+                        metric_arrays: dict):
+    """Mid-fit checkpoint: full TrainState + metric traces so far. The
+    reference has no fit-level checkpointing (nets are throwaway per image);
+    at 100k-iteration CT scale a resumable fit is a production requirement."""
+    flat, _ = jax.tree.flatten(state)
+    payload = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(flat)}
+    payload.update({f"metric_{k}": v for k, v in metric_arrays.items()})
+    np.savez(path, n_leaves=len(flat), chunk=chunk, **payload)
+
+
+def load_fit_checkpoint(path: str, state_template: TrainState):
+    z = np.load(path, allow_pickle=True)
+    flat = [jnp.asarray(z[f"leaf_{i}"]) for i in range(int(z["n_leaves"]))]
+    _, treedef = jax.tree.flatten(state_template)
+    state = jax.tree.unflatten(treedef, flat)
+    metrics = {k[len("metric_"):]: z[k] for k in z.files
+               if k.startswith("metric_")}
+    return state, int(z["chunk"]), metrics
+
+
 def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         seed: int = 42, show_every: int = 100,
         log_fn: Optional[Callable] = None,
         snapshot_fn: Optional[Callable] = None,
         rng: np.random.Generator | None = None,
-        reparam: str = "rt", device=None, metrics_every: int = 1) -> FitResult:
+        reparam: str = "rt", device=None, metrics_every: int = 1,
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every_chunks: int = 100,
+        resume: bool = False) -> FitResult:
     """Run one full DIP fit. Returns per-iteration metric traces + snapshot
     stacks with the reference's shapes and the final smoothed-recon PSNR
     as ``final_psnr`` (the BO objective).
@@ -376,15 +401,28 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
 
     n_chunks = -(-num_iter // show_every)  # fixed-length chunks (one compile)
 
+    start_chunk = 0
+    if resume and checkpoint_path and os.path.isfile(checkpoint_path):
+        state, start_chunk, saved = load_fit_checkpoint(checkpoint_path, state)
+        if device is not None:
+            state = jax.device_put(state, device)
+        for name, dst in (("mse_c", mse_c), ("mse_g", mse_g),
+                          ("psnrs", psnrs), ("ssims", ssims),
+                          ("recons", recons), ("unc_epi", unc_epi),
+                          ("unc_ale", unc_ale)):
+            if name in saved:
+                src = saved[name]
+                dst[:len(src)] = src[:len(dst)]
+
     t0 = time.perf_counter()
     compile_s = 0.0
-    for s in range(n_chunks):
+    for s in range(start_chunk, n_chunks):
         start = s * show_every
         its = jnp.arange(start, start + show_every, dtype=jnp.int32)
-        if s == 0:
+        if s == start_chunk:
             tc = time.perf_counter()
         state, rows = run_chunk(state, its, num_iter, show_every, hp, data)
-        if s == 0:
+        if s == start_chunk:
             jax.block_until_ready(rows)
             compile_s = time.perf_counter() - tc
         rows = np.asarray(rows)
@@ -410,6 +448,14 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
                 snapshot_fn(start, recons[k], unc_epi[k], unc_ale[k])
         if log_fn is not None:
             log_fn(end - 1, rows[n - 1])
+
+        if (checkpoint_path and s + 1 < n_chunks
+                and (s + 1) % checkpoint_every_chunks == 0):
+            save_fit_checkpoint(
+                checkpoint_path, jax.device_get(state), s + 1,
+                {"mse_c": mse_c, "mse_g": mse_g, "psnrs": psnrs,
+                 "ssims": ssims, "recons": recons, "unc_epi": unc_epi,
+                 "unc_ale": unc_ale})
 
     total_s = time.perf_counter() - t0
     steady = max(total_s - compile_s, 1e-9)

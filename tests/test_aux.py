@@ -1,0 +1,182 @@
+"""Auxiliary subsystems: classical baselines, evaluation report, profiling,
+classification trainer, MC dropout library, fit checkpoint/resume."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import mfvi_dip_mia_tpu.tasks.data as D
+from mfvi_dip_mia_tpu.ops import classical as C
+from mfvi_dip_mia_tpu.ops.metrics import psnr
+from mfvi_dip_mia_tpu.utils.images import chw_to_nhwc, add_gaussian_noise
+
+
+@pytest.fixture
+def noisy_pair(rng):
+    gt = D.synthetic_xray(0, 64)
+    noisy = add_gaussian_noise(gt, 0.1, rng)
+    return gt, noisy
+
+
+def _psnr(gt, x):
+    return float(psnr(jnp.asarray(chw_to_nhwc(gt)),
+                      jnp.asarray(chw_to_nhwc(np.clip(x, 0, 1)))))
+
+
+def test_tv_denoise_improves_psnr(noisy_pair):
+    gt, noisy = noisy_pair
+    den = C.tv_denoise_chambolle(noisy, weight=0.1)
+    assert _psnr(gt, den) > _psnr(gt, noisy) + 1.0
+
+
+def test_bilateral_improves_psnr(noisy_pair):
+    gt, noisy = noisy_pair
+    den = C.bilateral_denoise(noisy, sigma_spatial=1.5, sigma_color=0.2,
+                              radius=3)
+    assert _psnr(gt, den) > _psnr(gt, noisy) + 0.5
+
+
+def test_wavelet_improves_psnr(noisy_pair):
+    gt, noisy = noisy_pair
+    den = C.wavelet_denoise(noisy)
+    assert _psnr(gt, den) > _psnr(gt, noisy) + 0.5
+
+
+def test_bicubic_upscale_shape(rng):
+    img = rng.random((1, 16, 16)).astype(np.float32)
+    up = C.bicubic_upscale(img, 4)
+    assert up.shape == (1, 64, 64)
+
+
+def test_evaluation_report(tmp_path, monkeypatch, rng):
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.nn import build_skip_net
+    from mfvi_dip_mia_tpu.tasks import runners
+    from mfvi_dip_mia_tpu.tasks import evaluation as E
+
+    monkeypatch.setattr(P.D, "get_image_denoising",
+                        lambda img: (D.synthetic_xray(img, 64), (64, 64)))
+    monkeypatch.setattr(
+        P, "_standard_net",
+        lambda n, m, p, d=8: build_skip_net(
+            d, n_channels=n, pad="reflection", skip_n33d=[8, 16],
+            skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+            upsample_mode="bilinear"))
+
+    runners.run_den_mfvi(img=0, num_iter=30, lr=3e-3, temp=1e-6, sigma=1e-3,
+                         input_depth=8, seed=1, show_every=10, plot=False,
+                         save=True, save_path=str(tmp_path))
+    npz = glob.glob(str(tmp_path / "*" / "save.npz"))[0]
+    report = E.write_report([npz], str(tmp_path / "report"))
+    entry = report["runs"][npz]
+    assert "mfvi" in entry["summary"]
+    assert np.isfinite(entry["summary"]["mfvi"]["psnr_converged"])
+    assert "mfvi" in entry["calibration"]
+    assert entry["calibration"]["mfvi"]["uce"] >= 0
+    assert os.path.isfile(tmp_path / "report" / "report.json")
+    assert glob.glob(str(tmp_path / "report" / "*_recon.png"))
+
+
+def test_fit_checkpoint_resume(tmp_path, monkeypatch):
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.nn import build_skip_net
+    from mfvi_dip_mia_tpu.tasks import build_problem
+    from mfvi_dip_mia_tpu.tasks.trainer import Method, fit
+
+    monkeypatch.setattr(P.D, "get_image_denoising",
+                        lambda img: (D.synthetic_xray(img, 64), (64, 64)))
+    monkeypatch.setattr(
+        P, "_standard_net",
+        lambda n, m, p, d=8: build_skip_net(
+            d, n_channels=n, pad="reflection", skip_n33d=[8, 16],
+            skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+            upsample_mode="bilinear"))
+
+    ckpt = str(tmp_path / "fit_ckpt.npz")
+    problem = build_problem("den", "dip", 0, input_depth=8)
+    m = Method(name="dip")
+    full = fit(problem, m, num_iter=40, lr=2e-3, seed=3, show_every=10)
+
+    # run half (2 chunks of 10 on 41 iters -> checkpoint after chunk 2)
+    fit(problem, m, num_iter=40, lr=2e-3, seed=3, show_every=10,
+        checkpoint_path=ckpt, checkpoint_every_chunks=2)
+    assert os.path.isfile(ckpt)
+    resumed = fit(problem, m, num_iter=40, lr=2e-3, seed=3, show_every=10,
+                  checkpoint_path=ckpt, resume=True)
+    # resume reproduces the uninterrupted run exactly (same PRNG schedule)
+    np.testing.assert_allclose(resumed.psnrs, full.psnrs, rtol=1e-5)
+
+
+def test_profiling_utils(tmp_path):
+    from mfvi_dip_mia_tpu.utils.profiling import (PhaseTimer, ThroughputMeter,
+                                                  JsonlLogger)
+    pt = PhaseTimer()
+    with pt.phase("a"):
+        pass
+    assert "a" in pt.summary()
+    tm = ThroughputMeter()
+    tm.start()
+    tm.add(10)
+    assert tm.per_sec > 0
+    with JsonlLogger(str(tmp_path / "log.jsonl")) as log:
+        log.log(metric="x", value=1.0)
+    import json
+    rows = [json.loads(line) for line in open(tmp_path / "log.jsonl")]
+    assert rows[0]["metric"] == "x"
+
+
+def test_classification_trainer_learns(rng):
+    from mfvi_dip_mia_tpu.bayes.classification import (ClassificationTrainer,
+                                                       Predictor)
+    from mfvi_dip_mia_tpu.bayes import to_mfvi
+    from mfvi_dip_mia_tpu.nn import layers, init as init_lib
+
+    # tiny MLP on a linearly separable 2-class problem
+    def init(key):
+        k1, k2 = jax.random.split(key)
+        return {"l1": {"w": init_lib.conv_kernel_torch_default(k1, 1, 1, 2, 16),
+                       "b": jnp.zeros((16,))},
+                "l2": {"w": init_lib.conv_kernel_torch_default(k2, 1, 1, 16, 2),
+                       "b": jnp.zeros((2,))}}
+
+    from mfvi_dip_mia_tpu.nn.var_conv import apply_conv_leaf
+
+    def apply_fn(p, x, key=None, training=True):
+        h = x[:, None, None, :]  # (B,1,1,2) as NHWC
+        k1 = jax.random.fold_in(key, 1) if key is not None else None
+        k2 = jax.random.fold_in(key, 2) if key is not None else None
+        h = jax.nn.relu(apply_conv_leaf(p["l1"], h, stride=1, padding=0,
+                                        key=k1, training=training))
+        h = apply_conv_leaf(p["l2"], h, stride=1, padding=0, key=k2,
+                            training=training)
+        return h[:, 0, 0, :]
+
+    x = rng.standard_normal((256, 2)).astype(np.float32)
+    y = (x[:, 0] + x[:, 1] > 0).astype(np.int32)
+    params = to_mfvi(init(jax.random.PRNGKey(0)), jax.random.PRNGKey(1))
+    # tiny constant beta: with the reverse-KL convention a unit prior sigma
+    # heavily penalizes small posterior sigmas, so temper it like the runners
+    trainer = ClassificationTrainer(apply_fn, params, lr=5e-2,
+                                    prior_sigma=1.0, n_batches=1,
+                                    beta_type=1e-5)
+    for epoch in range(30):
+        trainer.train_epoch([(x, y)], jax.random.PRNGKey(10 + epoch))
+    pred = Predictor(apply_fn, trainer.params, n_samples=16)(x)
+    acc = float(np.mean(np.argmax(np.asarray(pred), -1) == y))
+    assert acc > 0.9
+
+
+def test_gaussian_dropout_moments(rng):
+    from mfvi_dip_mia_tpu.bayes.dropout import gaussian_dropout_conv
+    x = jnp.asarray(rng.random((1, 8, 8, 2)).astype(np.float32))
+    w = jnp.asarray(rng.random((3, 3, 2, 4)).astype(np.float32) - 0.5)
+    from mfvi_dip_mia_tpu.nn import layers
+    outs = jax.vmap(lambda k: gaussian_dropout_conv(x, w, 0.3, k, 1, 1))(
+        jax.random.split(jax.random.PRNGKey(0), 512))
+    mean = np.asarray(jnp.mean(outs, 0))
+    ref = np.asarray(layers.conv2d(x, w, None, 1, 1))
+    np.testing.assert_allclose(mean, ref, atol=0.1)
