@@ -33,6 +33,9 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=None)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--metric", choices=["train", "mc"], default="train",
+                        help="train: DIP iters/sec; mc: MC posterior "
+                             "samples/sec (vmapped)")
     args = parser.parse_args(argv)
 
     import jax
@@ -54,6 +57,41 @@ def main(argv=None):
 
     problem = build_problem("den", "mfvi", 0, input_depth=16)
     method = Method(name="mfvi", temp=5.66e-7, sigma=1.46e-5)  # test_mfvi_den
+
+    if args.metric == "mc":
+        # MC posterior samples/sec: vmapped stochastic forwards (the
+        # reference draws these one at a time, 25 per uncertainty map)
+        import time
+        import jax.numpy as jnp
+        from mfvi_dip_mia_tpu.bayes import to_mfvi
+        from mfvi_dip_mia_tpu.bayes.uncertainty import mc_predict
+        from mfvi_dip_mia_tpu.utils.images import get_noise
+
+        key = jax.random.PRNGKey(0)
+        params = jax.jit(lambda k: to_mfvi(problem.net.init(k),
+                                           jax.random.fold_in(k, 1)))(key)
+        z = jnp.asarray(get_noise(16, (size, size),
+                                  rng=np.random.default_rng(0)))
+        S = 32
+        f = jax.jit(lambda p, k: mc_predict(
+            lambda p, x, key: problem.net.apply(p, x, key=key, training=True),
+            p, z, k, S))
+        out = f(params, key)
+        jax.block_until_ready(out)
+        n_rep = 3 if args.quick else 10
+        t0 = time.perf_counter()
+        for i in range(n_rep):
+            # fresh keys each call: the remote-TPU relay memoizes identical
+            # (executable, args) requests, which would fake the timing
+            out = f(params, jax.random.fold_in(key, i))
+        jax.block_until_ready(out)
+        sps = S * n_rep / (time.perf_counter() - t0)
+        # reference: sequential single-sample forwards on its GPU (~60/s est.)
+        print(json.dumps({
+            "metric": f"mfvi_mc_posterior_samples_per_sec_{size}x{size}",
+            "value": round(sps, 2), "unit": "samples/sec",
+            "vs_baseline": round(sps / 60.0, 3)}))
+        return
 
     res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
               show_every=show_every)

@@ -18,18 +18,26 @@ import jax
 import jax.numpy as jnp
 
 
-def mc_predict(apply_fn, params, x, key, n_samples: int, **apply_kwargs):
-    """Draw ``n_samples`` stochastic forwards batched with vmap.
+def mc_predict(apply_fn, params, x, key, n_samples: int, batched: bool = False,
+               **apply_kwargs):
+    """Draw ``n_samples`` stochastic forwards inside one jit.
 
     apply_fn(params, x, key=..., **apply_kwargs) -> NHWC output.
     Returns stacked outputs with a leading sample axis (S, N, H, W, C).
+
+    Default is ``lax.map`` (sequential-in-graph): vmapping over *weight*
+    samples turns every conv into a grouped conv, which is ~7x slower on TPU
+    (measured 899 vs 122 samples/s at 256^2); XLA pipelines the mapped
+    iterations anyway. Set ``batched=True`` to force vmap (e.g. tiny nets).
     """
     keys = jax.random.split(key, n_samples)
 
     def one(k):
         return apply_fn(params, x, key=k, **apply_kwargs)
 
-    return jax.vmap(one)(keys)
+    if batched:
+        return jax.vmap(one)(keys)
+    return jax.lax.map(one, keys)
 
 
 def uncert_regression_gal(outputs: jnp.ndarray, mean_channels: int = 1):

@@ -194,6 +194,14 @@ def dropout2d(x: jnp.ndarray, p: float, key) -> jnp.ndarray:
     return jnp.where(keep, x / (1.0 - p), 0.0)
 
 
+def gen_noise(x: jnp.ndarray, n_channels: int, key) -> jnp.ndarray:
+    """Standard-normal noise tensor shaped like x but with ``n_channels``
+    (ref models/common.py GenNoise:49-61 — unused by the runners, library
+    parity)."""
+    shape = (x.shape[0], x.shape[1], x.shape[2], n_channels)
+    return jax.random.normal(key, shape, x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # concat with center-crop (ref models/common.py:15-46)
 # ---------------------------------------------------------------------------

@@ -206,6 +206,12 @@ class SkipNet:
         stride, pool = s.stride, None
         if s.stride != 1 and s.downsample_mode != "stride":
             stride, pool = 1, s.downsample_mode
+            if s.downsample_mode in ("lanczos2", "lanczos3"):
+                # fixed anti-aliased downsampler after the conv
+                # (ref models/common.py:109-111)
+                from ..ops.downsampler import Downsampler
+                pool = Downsampler(s.c_out, s.stride, s.downsample_mode,
+                                   phase=0.5, preserve_size=True)
         site_key = (jax.random.fold_in(key, s.site_id)
                     if key is not None else None)
         out = apply_conv_leaf(leaf, x, stride=stride, padding=to_pad,
@@ -225,6 +231,8 @@ class SkipNet:
             out = layers.avg_pool(out, s.stride)
         elif pool == "max":
             out = layers.max_pool(out, s.stride)
+        elif callable(pool):
+            out = pool(out)
         return out
 
     def _conv_bn_act(self, s: ConvSite, p, x, key, training, reparam,

@@ -127,6 +127,21 @@ def snr_hist(mus, sigmas, path, bins=100):
     plt.close(fig)
 
 
+def plot_conf(accs_per_bin, conf_per_bin, path):
+    """Classification confidence-calibration diagram
+    (ref BayTorch/visualize/visualization.py plot_conf)."""
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1], "--", color="gray")
+    ax.plot(np.asarray(conf_per_bin), np.asarray(accs_per_bin), "o-")
+    ax.set_xlabel("confidence")
+    ax.set_ylabel("accuracy")
+    ax.set_xlim(0, 1)
+    ax.set_ylim(0, 1)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def plot_uncert(errors_per_bin, uncert_per_bin, path):
     """Calibration diagram (ref utils/calibration_plots.py:11-40)."""
     fig, ax = plt.subplots()

@@ -158,3 +158,17 @@ def test_param_count_matches_reference_inpainting():
         pad="reflection", need_sigmoid=False)
     params = net.init(jax.random.PRNGKey(0))
     assert count_params(params) == t_count
+
+
+def test_lanczos_downsample_mode():
+    """downsample_mode='lanczos2' routes through the fixed anti-aliased
+    downsampler (ref models/common.py:109-111)."""
+    net = build_skip_net(
+        8, n_channels=2, pad="reflection", skip_n33d=[8, 16],
+        skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+        upsample_mode="bilinear", downsample_mode="lanczos2")
+    params = net.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 8)) * 0.1
+    out = net.apply(params, x, training=False)
+    assert out.shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out)).all()
