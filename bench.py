@@ -94,7 +94,7 @@ def main(argv=None):
         return
 
     res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
-              show_every=show_every)
+              show_every=show_every, collect_snapshots=False)
 
     value = float(res.iters_per_sec)
     print(json.dumps({

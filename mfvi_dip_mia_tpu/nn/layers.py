@@ -48,6 +48,21 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     return out
 
 
+def conv3d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+           stride: int = 1, padding: int = 0) -> jnp.ndarray:
+    """NDHWC conv with DHWIO kernel (the Conv3d analog; BayTorch ships 3-D
+    variational wrappers, BayTorch/modules/conv.py:74-142)."""
+    out = jax.lax.conv_general_dilated(
+        x, w,
+        window_strides=(stride, stride, stride),
+        padding=[(padding, padding)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
 def batch_norm_train(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
                      eps: float = 1e-5) -> jnp.ndarray:
     """BatchNorm2d in training mode: per-channel stats over (N, H, W) with

@@ -32,20 +32,35 @@ def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
     * variational leaf, reparam='lrt' -> local reparameterization: sample in
       activation space with std = sqrt(conv(x^2, sigma^2) + bias_var + 1e-16)
     * eval mode (training=False) -> posterior mean weights
+
+    Kernels may be 4-D (HWIO, 2-D conv) or 5-D (DHWIO, 3-D conv — the
+    Conv3dRT/LRT analog).
     """
+    def _conv(x_, w_, b_):
+        if w_.ndim == 5:
+            return layers.conv3d(x_, w_, b_, stride, padding)
+        return layers.conv2d(x_, w_, b_, stride, padding)
+
     if not is_variational_leaf(leaf):
-        return layers.conv2d(x, leaf["w"], leaf.get("b"), stride, padding)
+        return _conv(x, leaf["w"], leaf.get("b"))
 
     w_mu, w_rho = leaf["w_mu"], leaf["w_rho"]
     b_mu = leaf.get("b_mu")
     b_rho = leaf.get("b_rho")
 
     if not training:
-        return layers.conv2d(x, w_mu, b_mu, stride, padding)
+        return _conv(x, w_mu, b_mu)
     if key is None:
         raise ValueError("variational conv needs a PRNG key when training")
 
     if reparam == "lrt":
+        if w_mu.ndim == 5:  # 3-D LRT: two explicit convs (Conv3dLRT parity)
+            act_mu = _conv(x, w_mu, b_mu)
+            act_var = _conv(x * x, jax.nn.softplus(w_rho) ** 2, None)
+            if b_rho is not None:
+                act_var = act_var + jax.nn.softplus(b_rho) ** 2
+            eps = jax.random.normal(key, act_mu.shape, act_mu.dtype)
+            return act_mu + jnp.sqrt(1e-16 + act_var) * eps
         from ..ops.pallas.lrt_conv import lrt_conv  # fused path w/ fallback
         return lrt_conv(x, w_mu, w_rho, b_mu, b_rho, stride, padding, key)
 
@@ -57,4 +72,4 @@ def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
     if b_mu is not None:
         b = b_mu + jax.nn.softplus(b_rho) * jax.random.normal(kb, b_mu.shape,
                                                               b_mu.dtype)
-    return layers.conv2d(x, w, b, stride, padding)
+    return _conv(x, w, b)

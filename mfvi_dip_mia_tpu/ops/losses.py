@@ -39,6 +39,14 @@ def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean((pred - target) ** 2)
 
 
+def tv_loss(x: jnp.ndarray, beta: float = 0.5) -> jnp.ndarray:
+    """Total-variation loss (ref utils/sr_utils.py tv_loss, NHWC input):
+    sum((dh^2 + dw^2)^beta) over valid pixels."""
+    dh = (x[:, 1:, :, :] - x[:, :-1, :, :]) ** 2
+    dw = (x[:, :, 1:, :] - x[:, :, :-1, :]) ** 2
+    return jnp.sum((dh[:, :, :-1, :] + dw[:, :-1, :, :]) ** beta)
+
+
 def nll_loss_2d(out: jnp.ndarray, target: jnp.ndarray,
                 eps: float = 1e-6, reduction: str = "mean") -> jnp.ndarray:
     """BayTorch NLLLoss2d equivalent: network outputs (mu, logvar) stacked on

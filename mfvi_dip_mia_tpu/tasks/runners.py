@@ -140,6 +140,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
     res = fit(problem, method, num_iter=num_iter, lr=lr, seed=seed,
               show_every=show_every, rng=rng, device=dev,
               metrics_every=metrics_every,
+              collect_snapshots=(plot or save),
               log_fn=log_fn if log_every_chunk else None,
               snapshot_fn=snapshot_fn if plot else None)
 

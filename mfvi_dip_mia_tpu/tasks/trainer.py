@@ -330,7 +330,8 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         reparam: str = "rt", device=None, metrics_every: int = 1,
         checkpoint_path: Optional[str] = None,
         checkpoint_every_chunks: int = 100,
-        resume: bool = False) -> FitResult:
+        resume: bool = False,
+        collect_snapshots: bool = True) -> FitResult:
     """Run one full DIP fit. Returns per-iteration metric traces + snapshot
     stacks with the reference's shapes and the final smoothed-recon PSNR
     as ``final_psnr`` (the BO objective).
@@ -435,7 +436,9 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
 
         # the chunk's first iteration (start) hit a snapshot boundary;
         # snap buffers hold the state right after that iteration
-        if start % show_every == 0 and start < num_iter:
+        # (device->host pulls cost ~0.5 s/chunk through a remote tunnel;
+        # sweeps/benchmarks disable them via collect_snapshots=False)
+        if collect_snapshots and start % show_every == 0 and start < num_iter:
             k = start // show_every
             recons[k] = np.clip(
                 np.asarray(state.snap_avg)[0, ..., :mc], 0, 1

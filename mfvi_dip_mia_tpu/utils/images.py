@@ -151,6 +151,46 @@ def add_poisson_noise(img_np: np.ndarray, lam: float,
     return np.clip(noisy, 0, 1).astype(np.float32)
 
 
+def put_in_center(img_np: np.ndarray, target_size) -> np.ndarray:
+    """Zero-pad a (C,H,W) image into the center of target_size
+    (ref utils/sr_utils.py:put_in_center)."""
+    out = np.zeros((img_np.shape[0], target_size[0], target_size[1]),
+                   np.float32)
+    top = (target_size[0] - img_np.shape[1]) // 2
+    left = (target_size[1] - img_np.shape[2]) // 2
+    out[:, top:top + img_np.shape[1], left:left + img_np.shape[2]] = img_np
+    return out
+
+
+def load_lr_hr_imgs_sr(fname: str, imsize=-1, factor: int = 4,
+                       enforce_div32: str | None = None) -> dict:
+    """Load an HR image + anti-aliased LR version (ref utils/sr_utils.py:
+    load_LR_HR_imgs_sr). Returns {'orig_np', 'HR_np', 'LR_np'}."""
+    if Image is None:  # pragma: no cover
+        raise RuntimeError("PIL not available")
+    orig_np = load_image(fname, imsize)
+    hr = orig_np
+    if enforce_div32 == "CROP":
+        hr = crop_np(orig_np, 32)
+    hr_pil = np_to_pil(hr)
+    lr_pil = hr_pil.resize((hr.shape[2] // factor, hr.shape[1] // factor),
+                           Image.LANCZOS)
+    return {"orig_np": orig_np, "HR_np": hr, "LR_np": pil_to_np(lr_pil)}
+
+
+def sr_baselines(lr_np: np.ndarray, hr_shape) -> dict:
+    """Bicubic / sharpened-bicubic / nearest SR baselines
+    (ref utils/sr_utils.py:get_baselines)."""
+    from PIL import ImageFilter
+    lr_pil = np_to_pil(lr_np)
+    size = (hr_shape[2], hr_shape[1])
+    bic = lr_pil.resize(size, Image.BICUBIC)
+    near = lr_pil.resize(size, Image.NEAREST)
+    sharp = bic.filter(ImageFilter.UnsharpMask())
+    return {"bicubic": pil_to_np(bic), "bicubic_sharp": pil_to_np(sharp),
+            "nearest": pil_to_np(near)}
+
+
 def normalize01(x: np.ndarray) -> np.ndarray:
     """Min-max normalize (ref utils/common_utils.py:96-99)."""
     x = x - x.min()

@@ -129,3 +129,17 @@ def test_concat_center_crop():
     b = jnp.ones((1, 8, 8, 3))
     out = layers.concat_center_crop([a, b])
     assert out.shape == (1, 8, 8, 5)
+
+
+def test_conv3d_matches_torch(rng):
+    import torch.nn.functional as F3
+    x = torch.from_numpy(rng.random((1, 2, 6, 8, 8)).astype(np.float32))
+    w = torch.from_numpy(rng.random((4, 2, 3, 3, 3)).astype(np.float32) - 0.5)
+    b = torch.from_numpy(rng.random(4).astype(np.float32))
+    expected = F3.conv3d(x, w, b, stride=1, padding=1).numpy()
+    # NCDHW -> NDHWC, OIDHW -> DHWIO
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 3, 4, 1))
+    wj = jnp.asarray(w.numpy().transpose(2, 3, 4, 1, 0))
+    got = layers.conv3d(xj, wj, jnp.asarray(b.numpy()), 1, 1)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 4, 1, 2, 3),
+                               expected, rtol=1e-4, atol=1e-5)

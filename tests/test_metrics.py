@@ -92,3 +92,14 @@ def test_uce_with_range(rng):
         if prop.item() > 0:
             total += torch.abs(u[in_bin].mean() - e[in_bin].mean()) * prop
     assert float(got) == pytest.approx(total.item(), rel=1e-4)
+
+
+def test_tv_loss_matches_reference_formula(rng):
+    """ref utils/sr_utils.py::tv_loss (NCHW) vs ours (NHWC)."""
+    from mfvi_dip_mia_tpu.ops.losses import tv_loss
+    x = torch.from_numpy(rng.random((1, 2, 8, 8)).astype(np.float32))
+    dh = torch.pow(x[:, :, :, 1:] - x[:, :, :, :-1], 2)
+    dw = torch.pow(x[:, :, 1:, :] - x[:, :, :-1, :], 2)
+    expected = torch.sum(torch.pow(dh[:, :, :-1] + dw[:, :, :, :-1], 0.5)).item()
+    got = float(tv_loss(jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    assert got == pytest.approx(expected, rel=1e-4)

@@ -155,3 +155,23 @@ def test_mc_kl_close_to_analytic_for_normals():
     est = priors.mc_kl_divergence(jax.random.PRNGKey(0), p, q, (50000,),
                                   n_samples=1)
     assert float(jnp.mean(est)) == pytest.approx(0.5, abs=0.05)
+
+
+def test_rt_3d_conv_leaf():
+    """Conv3dRT analog: 5-D variational kernels route through conv3d."""
+    x = jnp.ones((1, 4, 4, 4, 2))
+    leaf = {"w_mu": jnp.ones((1, 1, 1, 2, 3)) * 0.5,
+            "w_rho": -6.0 * jnp.ones((1, 1, 1, 2, 3)),
+            "b_mu": jnp.zeros((3,)), "b_rho": -6.0 * jnp.ones((3,))}
+    out = vi.apply_conv_leaf(leaf, x, stride=1, padding=0,
+                             key=jax.random.PRNGKey(0), training=True)
+    assert out.shape == (1, 4, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=0.05)
+    # eval: exact posterior mean
+    out_e = vi.apply_conv_leaf(leaf, x, stride=1, padding=0, training=False)
+    np.testing.assert_allclose(np.asarray(out_e), 1.0, rtol=1e-6)
+    # 3-D LRT path
+    out_l = vi.apply_conv_leaf(leaf, x, stride=1, padding=0,
+                               key=jax.random.PRNGKey(1), training=True,
+                               reparam="lrt")
+    assert out_l.shape == (1, 4, 4, 4, 3)
