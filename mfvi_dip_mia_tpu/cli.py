@@ -23,13 +23,21 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="resume from the last *_fig_data.npz round")
     parser.add_argument("--no-plot", action="store_true")
+    parser.add_argument("--num-iter", type=int, default=None,
+                        help="override run_params.num_iter (smoke runs)")
+    parser.add_argument("--metrics-every", type=int, default=None)
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
     bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
                  for k, v in config.bo_params.items()}
+    run_params = dict(config.run_params)
+    if args.num_iter is not None:
+        run_params["num_iter"] = args.num_iter
+    if args.metrics_every is not None:
+        run_params["metrics_every"] = args.metrics_every
     bo(task=args.task, bayes=args.bayes, bo_params=bo_params,
-       run_params=config.run_params, n_rounds=args.rounds,
+       run_params=run_params, n_rounds=args.rounds,
        plot=not args.no_plot, resume=args.resume)
 
 

@@ -21,12 +21,24 @@ def main(argv=None):
     parser.add_argument("--bayes", type=str, default="mfvi")
     parser.add_argument("--config", type=str,
                         default="./configs/test_mfvi_den.json")
+    parser.add_argument("--num-iter", type=int, default=None,
+                        help="override run_params.num_iter (smoke runs)")
+    parser.add_argument("--metrics-every", type=int, default=None)
+    parser.add_argument("--no-save", action="store_true")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
     bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
                  for k, v in config.bo_params.items()}
-    evaluate_candidates(args.task, args.bayes, bo_params, config.run_params)
+    run_params = dict(config.run_params)
+    if args.num_iter is not None:
+        run_params["num_iter"] = args.num_iter
+    if args.metrics_every is not None:
+        run_params["metrics_every"] = args.metrics_every
+    if args.no_save:
+        run_params["save"] = False
+        run_params["plot"] = False
+    evaluate_candidates(args.task, args.bayes, bo_params, run_params)
 
 
 if __name__ == "__main__":

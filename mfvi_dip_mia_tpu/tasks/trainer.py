@@ -144,7 +144,8 @@ def _tree_select(pred, a, b):
 
 def make_step_fn(problem: Problem, method_name: str, optimizer,
                  hp: HyperParams, base_key, z_saved, num_iter, show_every,
-                 reparam: str = "rt", metrics_every=1):
+                 reparam: str = "rt", metrics_every=1,
+                 compute_dtype=jnp.float32):
     """Build the per-iteration step closure (pure; scanned under jit).
 
     Iterations >= num_iter are masked no-ops (state passes through) so the
@@ -172,8 +173,21 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
                                      hp.lr)
 
         def loss_fn(p):
-            out = net.apply(p, x, key=k_net, training=True, reparam=reparam,
+            # optional reduced-precision forward/backward: bf16 activations
+            # and weights ride the MXU at ~1.5x; master params, the KL and
+            # the loss itself stay f32 (mixed-precision recipe)
+            if compute_dtype != jnp.float32:
+                p_c = jax.tree.map(
+                    lambda a: a.astype(compute_dtype)
+                    if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+                    p)
+                x_c = x.astype(compute_dtype)
+            else:
+                p_c, x_c = p, x
+            out = net.apply(p_c, x_c, key=k_net, training=True,
+                            reparam=reparam,
                             dropout_p=hp.dropout_p if is_mcd else None)
+            out = out.astype(jnp.float32)
             loss = problem.data_loss(out)
             if is_mfvi:
                 kl = vi.kl_mfvi(p, 0.0, hp.prior_sigma)
@@ -241,13 +255,15 @@ _RUN_CHUNK_CACHE = weakref.WeakKeyDictionary()
 
 
 def _get_run_chunk(problem: Problem, method_name: str, optimizer,
-                   reparam: str):
+                   reparam: str, compute_dtype=None):
+    import jax.numpy as _jnp
+    compute_dtype = compute_dtype or _jnp.float32
     """One compiled chunk runner per (net, task, method, reparam): data
     tensors, the PRNG key, run lengths and all hyperparameters are traced
     arguments, so repeated fits — every BO candidate, every seed — reuse a
     single XLA executable."""
     per_net = _RUN_CHUNK_CACHE.setdefault(problem.net, {})
-    cache_key = (problem.task, method_name, reparam,
+    cache_key = (problem.task, method_name, reparam, str(compute_dtype),
                  problem.gt.shape, problem.target.shape,
                  None if problem.mask is None else problem.mask.shape,
                  None if problem.op_state is None else problem.op_state.shape)
@@ -261,7 +277,7 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
             op_state=data["op_state"])
         step = make_step_fn(bound, method_name, optimizer, hp, data["key"],
                             data["z"], n_iter, show_ev, reparam,
-                            data["metrics_every"])
+                            data["metrics_every"], compute_dtype)
         return jax.lax.scan(step, state, its)
 
     per_net[cache_key] = run_chunk
@@ -328,6 +344,7 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         snapshot_fn: Optional[Callable] = None,
         rng: np.random.Generator | None = None,
         reparam: str = "rt", device=None, metrics_every: int = 1,
+        compute_dtype=jnp.float32,
         checkpoint_path: Optional[str] = None,
         checkpoint_every_chunks: int = 100,
         resume: bool = False,
@@ -389,7 +406,8 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
             "op_state": problem.op_state,
             "metrics_every": jnp.asarray(metrics_every, jnp.int32)}
 
-    run_chunk = _get_run_chunk(problem, method.name, optimizer, reparam)
+    run_chunk = _get_run_chunk(problem, method.name, optimizer, reparam,
+                               compute_dtype)
 
     n_snaps = num_iter // show_every + 1
     mse_c = np.zeros(num_iter)
