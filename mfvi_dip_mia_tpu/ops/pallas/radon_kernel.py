@@ -93,6 +93,8 @@ def _fwd_call(a_bf16, v):
             bytes_accessed=p_pad * q_pad * 2 + q_pad * cols * 4
             + p_pad * cols * 4,
             transcendentals=0),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=6 * 1024 * 1024),
         interpret=_interpret(),
     )(a_bf16, v)
 
@@ -118,6 +120,8 @@ def _bwd_call(a_bf16, g):
             bytes_accessed=p_pad * q_pad * 2 + p_pad * cols * 4
             + q_pad * cols * 4,
             transcendentals=0),
+        compiler_params=None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=6 * 1024 * 1024),
         interpret=_interpret(),
     )(a_bf16, g)
 

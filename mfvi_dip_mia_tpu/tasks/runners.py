@@ -153,9 +153,40 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
                              {method_name: res.mse_gt},
                              {method_name: res.psnrs},
                              {method_name: res.ssims}, str(out_dir), file=f)
+    payload = None
     if save and out_dir is not None:
-        np.savez(str(out_dir / "save.npz"),
-                 **_npz_payload(task, problem, res, method_name))
+        payload = _npz_payload(task, problem, res, method_name)
+
+    if method_name != "dip":
+        # posterior-predictive summary over 25 MC samples (the reference's
+        # "SSIM of 25-sample mean recon", eval_denoising.ipynb cell 22) —
+        # drawn from the final posterior with lax.map batching
+        import jax.numpy as jnp
+        from ..bayes.uncertainty import mc_predict, uncert_regression_gal
+        from ..ops.metrics import psnr as psnr_fn, ssim as ssim_fn
+
+        outs = mc_predict(
+            lambda p, x, key: problem.net.apply(
+                p, x, key=key, training=True,
+                dropout_p=(dropout_p if method_name == "mcd" else None)),
+            jax.device_put(res.params, dev) if dev else res.params,
+            jax.device_put(jnp.asarray(res.net_input), dev)
+            if dev else jnp.asarray(res.net_input),
+            jax.random.PRNGKey(seed + 77), n_samples=25)
+        outs = jnp.asarray(problem.transform(outs))
+        mean, ale, epi = uncert_regression_gal(outs, problem.mean_ch)
+        mean_c = jnp.clip(mean, 0, 1)
+        mc_psnr = float(psnr_fn(problem.gt, mean_c))
+        mc_ssim = float(ssim_fn(problem.gt, mean_c))
+        if payload is not None:
+            payload.update(
+                mc_mean_recon=np.asarray(mean_c)[0].transpose(2, 0, 1),
+                mc_mean_psnr=mc_psnr, mc_mean_ssim=mc_ssim,
+                mc_ale=np.asarray(ale)[0].transpose(2, 0, 1),
+                mc_epi=np.asarray(epi)[0].transpose(2, 0, 1))
+
+    if payload is not None:
+        np.savez(str(out_dir / "save.npz"), **payload)
 
     return res.final_psnr
 

@@ -42,10 +42,16 @@ def test_run_den_mfvi_artifacts(tmp_path):
             "out_ale.png", "save.npz", "loss_mfvi.png"} <= names
     z = np.load(run_dir + "/save.npz", allow_pickle=True)
     assert {"img_gt", "img_noisy", "mse_noisy", "mse_gt", "recons",
-            "uncerts", "uncerts_ale", "psnrs", "ssims"} <= set(z.files)
+            "uncerts", "uncerts_ale", "psnrs", "ssims",
+            "mc_mean_recon", "mc_mean_psnr", "mc_mean_ssim",
+            "mc_ale", "mc_epi"} <= set(z.files)
     psnrs = z["psnrs"].item()["mfvi"]
     assert psnrs.shape == (21, 3)
     assert psnrs[-1, 2] == pytest.approx(psnr, abs=1e-5)
+    # the 25-sample posterior-mean summary (eval_denoising cell 22 parity)
+    assert np.isfinite(float(z["mc_mean_psnr"]))
+    assert z["mc_mean_recon"].shape == (1, 64, 64)
+    assert float(z["mc_epi"].max()) > 0
 
 
 def test_run_den_dip_no_save(tmp_path):
