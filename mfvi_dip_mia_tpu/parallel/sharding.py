@@ -96,7 +96,9 @@ def build_sharded_sweep_step(problem, method_name: str, n_samples: int,
                                 dropout_p=(hp.dropout_p
                                            if method_name == "mcd" else None))
                 return problem.data_loss(out), out
-            losses, outs = jax.vmap(one_sample)(keys_local)
+            # lax.map, not vmap: batching over *weight* samples turns convs
+            # into grouped convs (~7x slower on TPU, see bayes/uncertainty)
+            losses, outs = jax.lax.map(one_sample, keys_local)
             loss = jnp.mean(losses)
             if is_mfvi:
                 loss = loss + hp.temp * vi.kl_mfvi(p, 0.0, hp.prior_sigma)
