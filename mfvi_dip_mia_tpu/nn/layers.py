@@ -158,8 +158,11 @@ def _resize_with_matrices(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray
                           ) -> jnp.ndarray:
     mh = jnp.asarray(mh, x.dtype)
     mw = jnp.asarray(mw, x.dtype)
-    x = jnp.einsum("oh,nhwc->nowc", mh, x)
-    return jnp.einsum("pw,nhwc->nhpc", mw, x)
+    # HIGHEST: keep f32-true interpolation (TPU matmuls default to bf16
+    # passes); these are tiny banded matrices, the cost is negligible
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,nhwc->nowc", mh, x, precision=hi)
+    return jnp.einsum("pw,nhwc->nhpc", mw, x, precision=hi)
 
 
 def resize_bilinear(x: jnp.ndarray, scale: float,

@@ -61,9 +61,13 @@ def _depthwise_blur(x: jnp.ndarray, window_size: int, sigma: float
     h, w = x.shape[1], x.shape[2]
     bh = jnp.asarray(_blur_matrix(h, window_size, sigma))
     bw = jnp.asarray(_blur_matrix(w, window_size, sigma))
-    x = jnp.einsum("oh,nhwc->nowc", bh, x,
+    # HIGHEST precision: TPU f32 matmuls default to single-pass bf16, and the
+    # SSIM variances E[x^2] - mu^2 are cancellation-sensitive — with default
+    # precision the SSIM map leaves [-1, 1] entirely at 256^2
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("oh,nhwc->nowc", bh, x, precision=hi,
                    preferred_element_type=jnp.float32)
-    return jnp.einsum("pw,nhwc->nhpc", bw, x,
+    return jnp.einsum("pw,nhwc->nhpc", bw, x, precision=hi,
                       preferred_element_type=jnp.float32)
 
 

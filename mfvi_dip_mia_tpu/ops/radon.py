@@ -194,7 +194,10 @@ class FastRadonTransform:
             return radon_apply_pallas(image, matrix, self.n_angles)
         b, h, w, c = image.shape
         flat = image.reshape(b, h * w, c)
+        # HIGHEST: f32-true projection (TPU f32 dots default to one bf16
+        # pass); the op is HBM-bound so the extra MXU passes are ~free
         sino = jnp.einsum("pq,bqc->bpc", matrix, flat,
+                          precision=jax.lax.Precision.HIGHEST,
                           preferred_element_type=jnp.float32)
         return sino.reshape(b, self.n_angles, self.w, c)
 
