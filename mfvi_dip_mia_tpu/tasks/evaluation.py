@@ -36,7 +36,8 @@ def summarize_run(npz_path: str, tail: int = 100) -> dict:
         out[name] = {
             "psnr_converged": float(np.mean(p_v[-tail:, 2])),
             "psnr_early_stop": float(np.max(p_v[:, 2])),
-            "psnr_early_stop_iter": int(np.argmax(p[:, 2])),
+            "psnr_early_stop_iter": int(np.nanargmax(
+                np.where(np.isfinite(p[:, 2]), p[:, 2], -np.inf))),
             "ssim_converged": float(np.mean(s_v[-tail:, 2])),
             "ssim_early_stop": float(np.max(s_v[:, 2])),
         }
