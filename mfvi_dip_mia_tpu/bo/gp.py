@@ -66,6 +66,8 @@ def _kernel(p: GPParams, x1, x2):
 
 
 def _neg_mll(p: GPParams, x, y):
+    assert x.dtype == jnp.float64 and y.dtype == jnp.float64, (
+        f"GP must run in float64, got {x.dtype}/{y.dtype}")
     n = x.shape[0]
     k = _kernel(p, x, x) + (noise(p) + JITTER) * jnp.eye(n, dtype=x.dtype)
     chol = jnp.linalg.cholesky(k)
@@ -106,6 +108,8 @@ class ExactGP:
             return self._predict_x64(x_query)
 
     def _predict_x64(self, x_query):
+        assert x_query.dtype == jnp.float64, (
+            f"GP predict must run in float64, got {x_query.dtype}")
         p = self.params
         k_star = _kernel(p, x_query, self.x_train)
         mean = p.mean_const + k_star @ self.alpha
@@ -115,10 +119,12 @@ class ExactGP:
 
     @property
     def hyperparams(self):
+        # host-side numpy so f64 params never touch jnp outside enable_x64
+        # (jnp softplus on an f64 array would warn + truncate to f32)
         p = self.params
-        return {"lengthscale": float(lengthscale(p)),
-                "outputscale": float(outputscale(p)),
-                "noise": float(noise(p)),
+        return {"lengthscale": float(np.logaddexp(np.float64(p.raw_lengthscale), 0.0)),
+                "outputscale": float(np.logaddexp(np.float64(p.raw_outputscale), 0.0)),
+                "noise": float(1e-4 + np.logaddexp(np.float64(p.raw_noise), 0.0)),
                 "mean": float(p.mean_const)}
 
 

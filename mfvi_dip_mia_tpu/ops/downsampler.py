@@ -20,49 +20,38 @@ import numpy as np
 def get_kernel(factor: int, kernel_type: str, phase: float, kernel_width: int,
                support: int | None = None, sigma: float | None = None
                ) -> np.ndarray:
+    """Separable 2-D anti-alias kernel built as an outer product of a 1-D
+    profile over the sample grid (every family here is separable). Numerics
+    are pinned to the reference table (models/downsampler.py:74-136) by the
+    golden test, including its quirks: the gauss profile halves its distances
+    and half-phase shrinks the grid by one sample.
+    """
     assert kernel_type in ("lanczos", "gauss", "box")
-    if phase == 0.5 and kernel_type != "box":
-        kernel = np.zeros((kernel_width - 1, kernel_width - 1))
-    else:
-        kernel = np.zeros((kernel_width, kernel_width))
 
     if kernel_type == "box":
         assert phase == 0.5, "box filter is always half-phased"
-        kernel[:] = 1.0 / (kernel_width * kernel_width)
-    elif kernel_type == "gauss":
+        return np.full((kernel_width, kernel_width),
+                       1.0 / kernel_width ** 2, dtype=np.float32)
+
+    n = kernel_width - 1 if phase == 0.5 else kernel_width
+    center = (kernel_width + 1.0) / 2.0
+    grid = np.arange(1, n + 1, dtype=np.float64)
+
+    if kernel_type == "gauss":
         assert sigma, "sigma is not specified"
         assert phase != 0.5, "phase 1/2 for gauss not implemented"
-        center = (kernel_width + 1.0) / 2.0
-        sigma_sq = sigma * sigma
-        for i in range(1, kernel.shape[0] + 1):
-            for j in range(1, kernel.shape[1] + 1):
-                di = (i - center) / 2.0
-                dj = (j - center) / 2.0
-                kernel[i - 1, j - 1] = (
-                    np.exp(-(di * di + dj * dj) / (2 * sigma_sq))
-                    / (2.0 * np.pi * sigma_sq))
-    else:  # lanczos
+        d = (grid - center) / 2.0
+        profile = np.exp(-d * d / (2.0 * sigma * sigma)) \
+            / np.sqrt(2.0 * np.pi * sigma * sigma)
+    else:  # lanczos: sinc(d) * sinc(d / support), windowed
         assert support, "support is not specified"
-        center = (kernel_width + 1) / 2.0
-        for i in range(1, kernel.shape[0] + 1):
-            for j in range(1, kernel.shape[1] + 1):
-                if phase == 0.5:
-                    di = abs(i + 0.5 - center) / factor
-                    dj = abs(j + 0.5 - center) / factor
-                else:
-                    di = abs(i - center) / factor
-                    dj = abs(j - center) / factor
-                val = 1.0
-                if di != 0:
-                    val *= (support * np.sin(np.pi * di)
-                            * np.sin(np.pi * di / support)
-                            / (np.pi * np.pi * di * di))
-                if dj != 0:
-                    val *= (support * np.sin(np.pi * dj)
-                            * np.sin(np.pi * dj / support)
-                            / (np.pi * np.pi * dj * dj))
-                kernel[i - 1, j - 1] = val
+        d = np.abs(grid + (0.5 if phase == 0.5 else 0.0) - center) / factor
+        with np.errstate(invalid="ignore", divide="ignore"):
+            profile = (support * np.sin(np.pi * d) * np.sin(np.pi * d / support)
+                       / (np.pi * np.pi * d * d))
+        profile[d == 0] = 1.0
 
+    kernel = np.outer(profile, profile)
     kernel /= kernel.sum()
     return kernel.astype(np.float32)
 

@@ -109,6 +109,46 @@ def classical_baselines(task: str, gt: np.ndarray, corrupted) -> dict:
     return out
 
 
+def _infer_task(z) -> str | None:
+    if "img_noisy" in z:
+        return "den"
+    if "img_lr" in z:
+        return "sr"
+    if "img_radon" in z:
+        return "ct"
+    if "img_mask" in z:
+        return "inp"
+    return None
+
+
+def baselines_from_run(npz_path: str, task: str | None = None) -> dict:
+    """Classical-method rows for the run's own data, straight from the
+    save.npz schema (eval_denoising.ipynb cell 21, compare_ct.ipynb cells
+    2-5 parity). Inpainting has no classical baseline in the reference."""
+    z = np.load(npz_path, allow_pickle=True)
+    task = task or _infer_task(z)
+    if task == "den":
+        gt = np.asarray(z["img_gt"], np.float32)
+        return classical_baselines("den", gt,
+                                   np.asarray(z["img_noisy"], np.float32))
+    if task == "sr":
+        gt = np.asarray(z["img_hr"], np.float32)
+        lr = np.asarray(z["img_lr"], np.float32)
+        if lr.ndim == 2:
+            lr = lr[None]
+        return classical_baselines("sr", gt, lr)
+    if task == "ct":
+        gt = np.asarray(z["img_gt"], np.float32)
+        if gt.ndim == 4:
+            gt = gt[0]
+        sino = np.asarray(z["img_radon"], np.float32)  # (1, C, T, W)
+        sino = sino.transpose(0, 2, 3, 1)              # -> (1, T, W, C)
+        t = sino.shape[1]
+        theta = np.arange(t, dtype=np.float32) * (180.0 / t)  # ref :545 grid
+        return classical_baselines("ct", gt, (sino, theta))
+    return {}
+
+
 def write_report(npz_paths, out_dir: str, task: str | None = None,
                  with_maps: bool = True) -> dict:
     from ..utils import viz
@@ -117,7 +157,12 @@ def write_report(npz_paths, out_dir: str, task: str | None = None,
     report = {"runs": {}}
     for path in npz_paths:
         entry = {"summary": summarize_run(path),
-                 "calibration": calibration_from_run(path)}
+                 "calibration": calibration_from_run(path),
+                 "classical": baselines_from_run(path, task)}
+        z_mc = np.load(path, allow_pickle=True)
+        if "mc_mean_psnr" in z_mc:  # 25-sample posterior-mean metric
+            entry["mc_mean"] = {"psnr": float(z_mc["mc_mean_psnr"]),
+                                "ssim": float(z_mc["mc_mean_ssim"])}
         report["runs"][path] = entry
 
         if with_maps:
@@ -164,6 +209,12 @@ def main(argv=None):
                   f"SSIM {row['ssim_converged']:.4f}")
         for name, cal in entry["calibration"].items():
             print(f"  {name}: UCE {cal['uce']:.5f}")
+        if entry.get("mc_mean"):
+            print(f"  mc-mean(25): PSNR {entry['mc_mean']['psnr']:.2f} "
+                  f"SSIM {entry['mc_mean']['ssim']:.4f}")
+        for name, row in entry.get("classical", {}).items():
+            print(f"  [classical] {name}: PSNR {row['psnr']:.2f} "
+                  f"SSIM {row['ssim']:.4f}")
 
 
 if __name__ == "__main__":

@@ -79,6 +79,40 @@ def test_evaluation_report(tmp_path, monkeypatch, rng):
     assert entry["calibration"]["mfvi"]["uce"] >= 0
     assert os.path.isfile(tmp_path / "report" / "report.json")
     assert glob.glob(str(tmp_path / "report" / "*_recon.png"))
+    # classical baseline rows (eval notebook cell-21 parity) + 25-sample mean
+    cls = entry["classical"]
+    assert set(cls) == {"wavelet", "tv_chambolle", "bilateral"}
+    for row in cls.values():
+        assert np.isfinite(row["psnr"]) and 0 <= row["ssim"] <= 1
+    assert np.isfinite(entry["mc_mean"]["psnr"])
+
+
+def test_evaluation_report_ct_fbp_baseline(tmp_path, monkeypatch, rng):
+    """CT report must include the FBP classical row reconstructed from the
+    saved sinogram (compare_ct.ipynb cells 2-5)."""
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.nn import build_skip_net
+    from mfvi_dip_mia_tpu.tasks import runners
+    from mfvi_dip_mia_tpu.tasks import evaluation as E
+
+    monkeypatch.setattr(P.D, "get_img_ct",
+                        lambda img: (D.synthetic_xray(img, 64), (64, 64)))
+    monkeypatch.setattr(
+        P, "_standard_net",
+        lambda n, m, p, d=8: build_skip_net(
+            d, n_channels=n, pad="reflection", skip_n33d=[8, 16],
+            skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+            upsample_mode="bilinear"))
+
+    runners.run_ct_dip(img=0, num_iter=20, lr=3e-3, input_depth=8, seed=1,
+                       show_every=10, plot=False, save=True,
+                       save_path=str(tmp_path))
+    npz = glob.glob(str(tmp_path / "*" / "save.npz"))[0]
+    report = E.write_report([npz], str(tmp_path / "report"), with_maps=False)
+    cls = report["runs"][npz]["classical"]
+    assert "fbp_shepp_logan" in cls
+    # FBP from 45 angles on the synthetic phantom is a real reconstruction
+    assert cls["fbp_shepp_logan"]["psnr"] > 10.0
 
 
 def test_fit_checkpoint_resume(tmp_path, monkeypatch):

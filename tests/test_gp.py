@@ -53,6 +53,21 @@ def test_gp_fits_smooth_function(rng):
     assert float(np.asarray(var_far)[0]) > var.mean()
 
 
+def test_gp_stays_float64(rng):
+    """Every GP artifact must be f64; predict must return f64 (VERDICT r1 #8)."""
+    import jax.numpy as jnp
+    x = rng.random((6, 2))
+    y = x.sum(1)
+    gp = train_gp(x, y, iter_max=50)
+    for leaf in gp.params:
+        assert leaf.dtype == jnp.float64, leaf
+    assert gp.chol.dtype == jnp.float64 and gp.alpha.dtype == jnp.float64
+    mu, var = gp.predict(rng.random((3, 2)).astype(np.float32))
+    assert mu.dtype == jnp.float64 and var.dtype == jnp.float64
+    h = gp.hyperparams  # must not emit the f64-truncation warning (errors)
+    assert all(np.isfinite(v) for v in h.values())
+
+
 def test_expected_improvement_formula(rng):
     x = rng.random((10, 2))
     y = x[:, 0] * 10
