@@ -93,14 +93,7 @@ def _kl_normal_normal(mu_p, sigma_p, mu_q, sigma_q):
             - 0.5)
 
 
-def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
-            kl_type: str = "reverse") -> jnp.ndarray:
-    """Sum of per-element KL over all variational leaves.
-
-    kl_type='reverse' (the reference default, BayTorch/modules/module.py:76-80)
-    computes KL(prior || posterior); 'forward' computes KL(posterior || prior).
-    """
-    sigma_pr = prior_sigma + PRIOR_SIGMA_STABILIZER
+def _collect_variational(params):
     leaves = []
 
     def collect(node):
@@ -117,6 +110,18 @@ def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
                 collect(child)
 
     collect(params)
+    return leaves
+
+
+def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
+            kl_type: str = "reverse") -> jnp.ndarray:
+    """Sum of per-element KL over all variational leaves.
+
+    kl_type='reverse' (the reference default, BayTorch/modules/module.py:76-80)
+    computes KL(prior || posterior); 'forward' computes KL(posterior || prior).
+    """
+    sigma_pr = prior_sigma + PRIOR_SIGMA_STABILIZER
+    leaves = _collect_variational(params)
 
     total = jnp.float32(0.0)
     for mu, rho in leaves:
@@ -126,4 +131,62 @@ def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
         else:
             kl = _kl_normal_normal(mu, sigma_post, prior_mu, sigma_pr)
         total = total + jnp.sum(kl)
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Scale-mixture prior: MC KL (no closed form)
+# ---------------------------------------------------------------------------
+
+_LOG_SQRT_2PI = 0.9189385332046727
+
+
+def _normal_lp(x, loc, scale):
+    return (-((x - loc) ** 2) / (2.0 * scale ** 2)
+            - jnp.log(scale) - _LOG_SQRT_2PI)
+
+
+def _mixture_lp(x, loc, scale, pi):
+    """log sum_k pi_k N(x; loc_k, scale_k); loc/scale/pi are (K,) traced
+    arrays so BO candidates over mixture priors share one compiled graph."""
+    lp = _normal_lp(x[..., None], loc, scale) + jnp.log(pi)
+    return jax.scipy.special.logsumexp(lp, axis=-1)
+
+
+def _mixture_sample(key, shape, loc, scale, pi):
+    kc, kn = jax.random.split(key)
+    comp = jax.random.categorical(kc, jnp.log(pi), shape=shape)
+    return loc[comp] + scale[comp] * jax.random.normal(kn, shape)
+
+
+def kl_mfvi_mc(params, key, prior_loc, prior_scale, prior_pi,
+               kl_type: str = "reverse", n_samples: int = 1) -> jnp.ndarray:
+    """MC estimate of the summed KL against a scale-mixture Normal prior.
+
+    The reference wires ``mc_kl_divergence`` into ``_kl`` whenever the prior
+    dict carries ``pi`` (BayTorch/modules/module.py:32-35, 66-75) — reverse
+    KL samples from the PRIOR and scores prior-minus-posterior, forward
+    samples from the posterior. ``prior_scale`` is expected pre-stabilized
+    (+1e-6, module.py:34). One sample per weight element per step (the
+    corrected sampler — the reference's MixtureNormal.rsample quirk is not
+    reproduced; see bayes/priors.py)."""
+    loc = jnp.asarray(prior_loc, jnp.float32)
+    scale = jnp.asarray(prior_scale, jnp.float32)
+    pi = jnp.asarray(prior_pi, jnp.float32)
+    leaves = _collect_variational(params)
+
+    total = jnp.float32(0.0)
+    for i, (mu, rho) in enumerate(leaves):
+        sigma_post = jax.nn.softplus(rho)
+        for s_idx in range(n_samples):
+            k = jax.random.fold_in(jax.random.fold_in(key, i), s_idx)
+            if kl_type == "reverse":
+                s = _mixture_sample(k, mu.shape, loc, scale, pi)
+                kl = _mixture_lp(s, loc, scale, pi) - _normal_lp(
+                    s, mu, sigma_post)
+            else:
+                s = mu + sigma_post * jax.random.normal(k, mu.shape)
+                kl = _normal_lp(s, mu, sigma_post) - _mixture_lp(
+                    s, loc, scale, pi)
+            total = total + jnp.sum(kl) / n_samples
     return total

@@ -1,0 +1,285 @@
+"""Block-banded Pallas Radon operator: stream only the nonzero band.
+
+The dense projection matrix A (T*W, H*W) is ~98% zeros: a sinogram bin
+(t, j) only weights pixels whose projection coordinate p = alpha_t*x +
+beta_t*y + gamma_t lands within the bilinear footprint |j - p| < 1.5
+(ops/radon.py:_build_projection_matrix). For a 32x32 image patch, p spans at
+most 31*(|cos|+|sin|) + 3 < 47 sinogram bins — so per (angle, patch) the
+nonzero rows fit one static 64-row window. Reordering image pixels
+patch-major therefore turns A into T*G dense (JWIN=64, PP=1024) blocks plus a
+per-block row offset, cutting the bytes streamed per forward from
+T*W*H*W (3.0 GB f32 at 256^2 / 45 angles) to T*G*JWIN*PP (755 MB f32 /
+378 MB bf16). The operator is HBM-bandwidth-bound, so throughput follows
+exactly that ratio — PROVIDED the grid stays coarse enough to be DMA-bound:
+each grid step processes one patch x TCHUNK=12 angles as a single
+(768, 1024) x (1024, cols) MXU pass (~3 MB of band per step), the full
+sinogram (46 KB) stays VMEM-resident across the whole grid, and only the
+per-angle 64-row window accumulation is a dynamic-sublane store. A
+finer-grained first cut (one 64x1024 dot per block, 1440 steps/pass) measured
+~4 us/step of non-DMA overhead and lost to the dense bf16 streamer.
+
+  forward:  sino[t, jlo(t,g) : jlo+64] += B[t,g] @ patch[g]      (accumulate)
+  backward: grad[patch g]  += B[t,g]^T @ gsino[t, jlo : jlo+64]  (accumulate)
+
+Both stream the SAME (G, T_pad/TCHUNK, TCHUNK*JWIN, PP) block tensor in the
+same grid order (no transpose is ever materialized). f32 blocks hold exactly
+the dense matrix's nonzeros, so 'banded' matches 'matmul' to summation-order
+tolerance; bf16 storage halves the bytes again at <1e-3 operator error.
+
+Reference semantics: radon/radon.py:4-55 (rotate + sum via affine_grid /
+grid_sample, align_corners=False, zero padding).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PATCH = 32            # image patch side
+JWIN = 64             # sinogram row window per (angle, patch) block
+TCHUNK = 12           # angles fused per grid step (amortize per-step cost)
+PP = PATCH * PATCH    # pixels per patch
+
+
+def _interpret() -> bool:
+    """Interpreter mode off-TPU so CPU CI exercises the same kernel code."""
+    return jax.default_backend() != "tpu"
+
+
+class BandedRadonState:
+    """Device-resident operator state (threaded through jit as an argument,
+    like the dense matrix — see Problem.op_state).
+
+    ``blocks``: (G, T_pad/TCHUNK, TCHUNK*JWIN, PP);
+    ``jlo``: (T_pad * G,) int32 row offsets, indexed [t * G + g].
+    Registered as a pytree so it rides the trainer's data dict untouched.
+    """
+
+    def __init__(self, blocks, jlo, n_angles, w):
+        self.blocks = blocks
+        self.jlo = jlo
+        self.n_angles = int(n_angles)
+        self.w = int(w)
+
+
+jax.tree_util.register_pytree_node(
+    BandedRadonState,
+    lambda s: ((s.blocks, s.jlo), (s.n_angles, s.w)),
+    lambda aux, kids: BandedRadonState(kids[0], kids[1], aux[0], aux[1]))
+
+
+def prepare_banded(a_f32: np.ndarray, n_angles: int, h: int, w: int,
+                   dtype=jnp.float32) -> BandedRadonState:
+    """Slice the dense (T*W, H*W) matrix into its per-(angle, patch) band
+    blocks. Host-side numpy, done once per (theta, size) and cached
+    upstream (FastRadonTransform.matrix)."""
+    assert h == w and h % PATCH == 0, (h, w)
+    assert w >= JWIN, f"banded mode needs W >= {JWIN}, got {w}"
+    gside = w // PATCH
+    g_count = gside * gside
+
+    # patch-major column permutation: raster (y*w + x) -> (gy, gx, yl, xl)
+    perm = (np.arange(h * w).reshape(gside, PATCH, gside, PATCH)
+            .transpose(0, 2, 1, 3).reshape(g_count, PP))
+
+    t_pad = -(-n_angles // TCHUNK) * TCHUNK
+    blocks = np.zeros((t_pad, g_count, JWIN, PP), np.float32)
+    jlo = np.zeros((t_pad, g_count), np.int32)
+
+    for t in range(n_angles):
+        at = a_f32[t * w:(t + 1) * w]               # (W, H*W)
+        for g in range(g_count):
+            blk = at[:, perm[g]]                    # (W, PP)
+            rows = np.flatnonzero(np.abs(blk).sum(axis=1))
+            if len(rows) == 0:
+                continue
+            jmin, jmax = int(rows[0]), int(rows[-1])
+            lo = min(max(0, (jmin // 8) * 8), w - JWIN)
+            assert jmax < lo + JWIN, (
+                f"band wider than JWIN: t={t} g={g} [{jmin},{jmax}] lo={lo}")
+            jlo[t, g] = lo
+            blocks[t, g] = blk[lo:lo + JWIN]
+
+    # grid layout: (patch, angle-chunk) with the TCHUNK angle blocks of one
+    # step stacked on the sublane axis for a single MXU pass
+    blocks = (blocks.transpose(1, 0, 2, 3)          # (G, T_pad, JWIN, PP)
+              .reshape(g_count, t_pad // TCHUNK, TCHUNK * JWIN, PP))
+    return BandedRadonState(jnp.asarray(blocks).astype(dtype),
+                            jnp.asarray(jlo.reshape(-1)), n_angles, w)
+
+
+def patchify(image_nhwc: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B*C, G*PP) cols-LEADING patch-major pixel matrix.
+
+    Cols-leading is load-bearing: a pallas_call constrains its operands to
+    default row-major layouts, and with the pixel axis LAST the constraint is
+    (pixels, 1) — lane dimension 1 — which forces T(1,128)-tiled layout-
+    conversion copies of every image-sized tensor the operand touches
+    upstream (U-Net output, EMA, the 25-slot MC ring): ~8 ms/iter measured
+    on v5e. With pixels on the lane axis the constraint is layout-neutral
+    and those copies vanish."""
+    b, h, w, c = image_nhwc.shape
+    gside = w // PATCH
+    x = image_nhwc.reshape(b, gside, PATCH, gside, PATCH, c)
+    x = x.transpose(0, 5, 1, 3, 2, 4)               # (b, c, gy, gx, yl, xl)
+    return x.reshape(b * c, gside * gside * PP)
+
+
+def unpatchify(grad_flat: jnp.ndarray, b: int, h: int, w: int, c: int):
+    """(B*C, G*PP) -> (B, H, W, C); inverse of patchify."""
+    gside = w // PATCH
+    x = grad_flat.reshape(b, c, gside, gside, PATCH, PATCH)
+    x = x.transpose(0, 2, 4, 3, 5, 1)               # (b, gy, yl, gx, xl, c)
+    return x.reshape(b, h, w, c)
+
+
+def _compiler_params():
+    if _interpret():
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=13 * 1024 * 1024)
+
+
+def _fwd_call(blocks, jlo, v, *, g_count: int, w: int):
+    """(T_pad*W, cols) sinogram = banded-A @ (cols, G*PP) pixel matrix.
+    The whole sinogram lives in VMEM across the grid; each step adds one
+    patch x TCHUNK angles. The sinogram keeps cols LAST (its dynamic row
+    windows must sit on the 8-aligned sublane axis) — it is tiny (~50 KB),
+    so its layout constraint is harmless, unlike the image-sized v
+    (see patchify)."""
+    n_tc = blocks.shape[1]
+    t_pad = n_tc * TCHUNK
+    cols = v.shape[0]
+
+    def kernel(jlo_ref, a_ref, v_ref, o_ref):
+        g = pl.program_id(0)
+        tc = pl.program_id(1)
+
+        @pl.when(jnp.logical_and(g == 0, tc == 0))
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        a = a_ref[0, 0].astype(jnp.float32)          # (TCHUNK*JWIN, PP)
+        contrib = jax.lax.dot_general(
+            a, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # (TCHUNK*JWIN, cols)
+        for i in range(TCHUNK):
+            t = tc * TCHUNK + i
+            lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
+            o_ref[pl.ds(t * w + lo, JWIN), :] += (
+                contrib[i * JWIN:(i + 1) * JWIN, :])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_count, n_tc),
+        in_specs=[
+            pl.BlockSpec((1, 1, TCHUNK * JWIN, PP),
+                         lambda g, tc, jlo: (g, tc, 0, 0)),
+            pl.BlockSpec((cols, PP), lambda g, tc, jlo: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((t_pad * w, cols), lambda g, tc, jlo: (0, 0)),
+    )
+    bpe = blocks.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad * w, cols), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * g_count * JWIN * PP * cols,
+            bytes_accessed=blocks.size * bpe + v.size * 4
+            + t_pad * w * cols * 4,
+            transcendentals=0),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(jlo, blocks, v)
+
+
+def _bwd_call(blocks, jlo, gsino, *, g_count: int, w: int):
+    """grad_v (cols, G*PP) = banded-A^T @ (T_pad*W, cols) cotangent; the tiny
+    cotangent sinogram stays VMEM-resident, windows are gathered into scratch
+    per step, and the same block stream contracts on its row axis. The
+    image-sized OUTPUT is cols-leading for the same layout-neutrality reason
+    as patchify's input (its reshape feeds the conv backward graph)."""
+    n_tc = blocks.shape[1]
+    t_pad = n_tc * TCHUNK
+    cols = gsino.shape[-1]
+
+    def kernel(jlo_ref, a_ref, s_ref, o_ref, win_ref):
+        g = pl.program_id(0)
+        tc = pl.program_id(1)
+
+        @pl.when(tc == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        for i in range(TCHUNK):
+            t = tc * TCHUNK + i
+            lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
+            win_ref[i * JWIN:(i + 1) * JWIN, :] = (
+                s_ref[pl.ds(t * w + lo, JWIN), :])
+        a = a_ref[0, 0].astype(jnp.float32)          # (TCHUNK*JWIN, PP)
+        o_ref[:] += jax.lax.dot_general(
+            win_ref[:], a, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)     # (cols, PP)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(g_count, n_tc),
+        in_specs=[
+            pl.BlockSpec((1, 1, TCHUNK * JWIN, PP),
+                         lambda g, tc, jlo: (g, tc, 0, 0)),
+            pl.BlockSpec((t_pad * w, cols), lambda g, tc, jlo: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((cols, PP), lambda g, tc, jlo: (0, g)),
+        scratch_shapes=[pltpu.VMEM((TCHUNK * JWIN, cols), jnp.float32)],
+    )
+    bpe = blocks.dtype.itemsize
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((cols, g_count * PP), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t_pad * g_count * JWIN * PP * cols,
+            bytes_accessed=blocks.size * bpe + t_pad * w * cols * 4
+            + g_count * PP * cols * 4,
+            transcendentals=0),
+        compiler_params=_compiler_params(),
+        interpret=_interpret(),
+    )(jlo, blocks, gsino)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _banded_matvec(blocks, jlo, v, g_count: int, w: int):
+    """(T_pad*W, cols) sinogram = banded-A @ (cols, G*PP) pixel matrix."""
+    return _fwd_call(blocks, jlo, v, g_count=g_count, w=w)
+
+
+def _banded_vjp_fwd(blocks, jlo, v, g_count, w):
+    return _banded_matvec(blocks, jlo, v, g_count, w), (blocks, jlo)
+
+
+def _banded_vjp_bwd(g_count, w, res, g):
+    blocks, jlo = res
+    grad_v = _bwd_call(blocks, jlo, g, g_count=g_count, w=w)
+    return None, None, grad_v
+
+
+_banded_matvec.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
+
+
+def radon_apply_banded(image_nhwc: jnp.ndarray,
+                       state: BandedRadonState) -> jnp.ndarray:
+    """NHWC image -> (B, T, W, C) sinogram via the block-banded kernel."""
+    b, h, w, c = image_nhwc.shape
+    assert w == state.w, (w, state.w)
+    gside = w // PATCH
+    v = patchify(image_nhwc.astype(jnp.float32))
+    sino = _banded_matvec(state.blocks, state.jlo, v, gside * gside, w)
+    sino = sino.reshape(-1, w, b * c)[:state.n_angles]  # drop TCHUNK padding
+    return sino.reshape(state.n_angles, w, b, c).transpose(2, 0, 1, 3)

@@ -136,13 +136,18 @@ class FastRadonTransform:
     ``theta`` in degrees (defaults to arange(180) like the reference).
 
     ``mode``:
-      * 'matmul' — dense exact f32 projection matrix on the MXU (TPU default)
-      * 'pallas' — the custom Pallas kernel (bf16-stored matrix, f32
-        accumulation, transpose-free custom VJP): ~2x the matmul mode's
-        training throughput at <1e-2 relative operator error
+      * 'banded' — block-banded Pallas kernel streaming only the matrix's
+        nonzero band (~25% of the dense bytes) in exact f32; numerically the
+        matmul contraction with a different summation order (TPU default)
+      * 'banded-bf16' — same kernel, bf16-stored band: half the bytes again
+        at <1e-3 relative operator error
+      * 'matmul' — dense exact f32 projection matrix on the MXU
+      * 'pallas' — dense bf16-stored matrix kernel (superseded by 'banded',
+        kept for A/B benchmarking)
       * 'gather' — coordinate-generating bilinear gather (memory-light
         fallback, the natural CPU path)
-      * 'auto'   — matmul when the matrix fits the budget, else gather.
+      * 'auto'   — banded on TPU (when the image size allows); else matmul
+        when the dense matrix fits the budget, else gather.
     """
 
     MATMUL_BUDGET_BYTES = 4 * 1024 ** 3
@@ -161,8 +166,22 @@ class FastRadonTransform:
             import os
             mode = os.environ.get("MFVI_DIP_RADON", "auto")
         if mode == "auto":
-            nbytes = self.n_angles * w * h * w * 4
-            mode = "matmul" if nbytes <= self.MATMUL_BUDGET_BYTES else "gather"
+            # measured end-to-end on v5e (scripts/ab_radon.sh, CT fit,
+            # metrics_every=10): banded 98.8 it/s vs matmul 71.0 (dip),
+            # 88.2 vs ~70 (mfvi; banded-bf16 101.6). The banded kernel only
+            # wins once the trainer carries its MC rings FLAT — 4-D ring
+            # carries + a Pallas custom call push XLA layout assignment into
+            # T(1,128) conversion copies (see tasks/trainer.py). 'banded' is
+            # the TPU default (exact f32); 'banded-bf16' is the opt-in speed
+            # mode at <1e-3 relative operator error.
+            from .pallas import radon_banded as _rb
+            if (jax.default_backend() == "tpu" and w >= _rb.JWIN
+                    and h == w and h % _rb.PATCH == 0):
+                mode = "banded"
+            else:
+                nbytes = self.n_angles * w * h * w * 4
+                mode = ("matmul" if nbytes <= self.MATMUL_BUDGET_BYTES
+                        else "gather")
         self.mode = mode
 
     @property
@@ -182,13 +201,23 @@ class FastRadonTransform:
             if self.mode == "pallas":
                 from .pallas.radon_kernel import prepare_matrix_bf16
                 _MATRIX_CACHE[key] = jax.device_put(prepare_matrix_bf16(a))
+            elif self.mode in ("banded", "banded-bf16"):
+                from .pallas.radon_banded import prepare_banded
+                dt = (jnp.bfloat16 if self.mode == "banded-bf16"
+                      else jnp.float32)
+                state = prepare_banded(a, self.n_angles, self.h, self.w,
+                                       dtype=dt)
+                _MATRIX_CACHE[key] = jax.device_put(state)
             else:
                 _MATRIX_CACHE[key] = jax.device_put(a)
         return _MATRIX_CACHE[key]
 
     def apply(self, image: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-        """Matmul/pallas forward with an explicitly threaded matrix
+        """Matmul/pallas/banded forward with an explicitly threaded matrix
         (jit-safe)."""
+        if self.mode in ("banded", "banded-bf16"):
+            from .pallas.radon_banded import radon_apply_banded
+            return radon_apply_banded(image, matrix)
         if self.mode == "pallas":
             from .pallas.radon_kernel import radon_apply_pallas
             return radon_apply_pallas(image, matrix, self.n_angles)
@@ -211,7 +240,7 @@ class FastRadonTransform:
         return jax.vmap(per_image)(image)
 
     def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
-        if self.mode in ("matmul", "pallas"):
+        if self.mode in ("matmul", "pallas", "banded", "banded-bf16"):
             if (isinstance(image, jax.core.Tracer)
                     and self.matrix_bytes > 256 * 1024 ** 2):
                 raise RuntimeError(

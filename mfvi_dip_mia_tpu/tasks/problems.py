@@ -234,7 +234,7 @@ def build_problem(task: str, method: str, img: int, *, p_sigma: float = 0.1,
         radon = FastRadonTransform(gt.shape, _CT_THETA)
         target = radon(gt)
         net = _standard_net(1, method, dropout_p, input_depth)
-        if radon.mode in ("matmul", "pallas"):
+        if radon.mode in ("matmul", "pallas", "banded", "banded-bf16"):
             operator, op_state = radon.apply, radon.matrix()
         else:
             operator, op_state = radon, None

@@ -71,6 +71,11 @@ class Method:
     weight_decay: float = 0.0      # mcd / sgld (AdamW decoupled wd)
     gamma: float = 0.9999          # sgld lr decay
     param_noise_sigma: float = 2.0 # sgld (ref :979)
+    # optional scale-mixture prior in the reference's dict schema
+    # ({'mu': [..], 'sigma': [..], 'pi': [..]}): routes the MFVI KL through
+    # the MC estimator, as BayTorch does whenever 'pi' is present
+    # (modules/module.py:32-35). None -> the runners' scalar prior.
+    prior: dict | None = None
 
     @property
     def prior_sigma(self) -> float:
@@ -89,15 +94,28 @@ class HyperParams(NamedTuple):
     gamma: jnp.ndarray
     dropout_p: jnp.ndarray
     param_noise_sigma: jnp.ndarray
+    # (K,) mixture-prior components; K=0 means scalar prior (the K is shape-
+    # static, so mixture vs scalar picks its branch at trace time while the
+    # component VALUES stay traced like every other hyperparameter)
+    prior_loc: jnp.ndarray
+    prior_scale: jnp.ndarray
+    prior_pi: jnp.ndarray
 
     @staticmethod
     def of(method: "Method", lr: float) -> "HyperParams":
         f = lambda v: jnp.asarray(v, jnp.float32)
+        if method.prior is not None and "pi" in method.prior:
+            loc = f(method.prior["mu"])
+            scale = f(method.prior["sigma"]) + 1e-6  # module.py:34 stabilizer
+            pi = f(method.prior["pi"])
+        else:
+            loc = scale = pi = jnp.zeros((0,), jnp.float32)
         return HyperParams(
             lr=f(lr), temp=f(method.temp), prior_sigma=f(method.prior_sigma),
             weight_decay=f(method.weight_decay), gamma=f(method.gamma),
             dropout_p=f(method.dropout_p),
-            param_noise_sigma=f(method.param_noise_sigma))
+            param_noise_sigma=f(method.param_noise_sigma),
+            prior_loc=loc, prior_scale=scale, prior_pi=pi)
 
 
 def _sgld_lr(hp: HyperParams, it, floor: float = 1e-8):
@@ -160,7 +178,7 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
 
     def step(state: TrainState, it):
         key_it = jax.random.fold_in(base_key, it)
-        k_jit, k_net, k_pn = jax.random.split(key_it, 3)
+        k_jit, k_net, k_pn, k_kl = jax.random.split(key_it, 4)
 
         x = z_saved + REG_NOISE_STD * jax.random.normal(
             k_jit, z_saved.shape, z_saved.dtype)
@@ -190,7 +208,11 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
             out = out.astype(jnp.float32)
             loss = problem.data_loss(out)
             if is_mfvi:
-                kl = vi.kl_mfvi(p, 0.0, hp.prior_sigma)
+                if hp.prior_pi.shape[0] > 0:   # scale-mixture prior: MC KL
+                    kl = vi.kl_mfvi_mc(p, k_kl, hp.prior_loc,
+                                       hp.prior_scale, hp.prior_pi)
+                else:
+                    kl = vi.kl_mfvi(p, 0.0, hp.prior_sigma)
                 loss = loss + hp.temp * kl
             return loss, out
 
@@ -213,13 +235,23 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
                             state.out_avg * EXP_WEIGHT
                             + out_t * (1.0 - EXP_WEIGHT))
 
+        # the MC rings and snapshot maps are carried FLAT (2-D / 1-D): their
+        # natural 4-D (25, H, W, 1) form tempts XLA's layout assignment into
+        # T(1,128)-tiled layouts once a Pallas custom call (with row-major
+        # operand constraints) joins the program, inserting ~ms-scale
+        # layout-conversion copies of the ring every iteration. Flat buffers
+        # are layout-unambiguous; the 4-D view is restored host-side when
+        # snapshots are read (once per chunk).
         mc = problem.mean_ch
         slot = jnp.mod(it, MC_RING)
         ring_epi = state.ring_epi.at[slot].set(
-            jnp.clip(out_t[0, ..., :mc], 0, 1))
+            jnp.clip(out_t[0, ..., :mc], 0, 1).reshape(-1))
         if problem.has_ale:
-            ring_ale = state.ring_ale.at[slot].set(
-                jnp.clip(out_t[0, ..., mc:], 0, 1))
+            ale = jnp.clip(out_t[0, ..., mc:], 0, 1)
+            # inp: 1 ale channel rides a 3-channel (mean_ch) ring slot — the
+            # 4-D ring relied on .set's implicit broadcast; flat is explicit
+            ale = jnp.broadcast_to(ale, ale.shape[:-1] + (mc,))
+            ring_ale = state.ring_ale.at[slot].set(ale.reshape(-1))
         else:
             ring_ale = state.ring_ale
 
@@ -233,12 +265,18 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
 
         at_snap = jnp.logical_and(jnp.mod(it, show_every) == 0, it < num_iter)
 
-        def snap(new, old):
-            return jnp.where(at_snap, new, old)
-
-        snap_avg = snap(out_avg, state.snap_avg)
-        snap_epi = snap(jnp.var(ring_epi, axis=0, ddof=1), state.snap_epi)
-        snap_ale = snap(jnp.mean(ring_ale, axis=0), state.snap_ale)
+        # snapshot reductions go under lax.cond, NOT a masked jnp.where:
+        # unconditionally computing the ring var/mean every iteration is free
+        # in the pure-XLA program (it fuses to nothing next to the matmuls)
+        # but costs ~8 ms/iter the moment a Pallas call joins the program —
+        # the custom-call boundary stops XLA from fusing the masked
+        # reductions, so they materialize per step. cond executes them only
+        # on the 1/show_every boundary iterations.
+        snap_avg, snap_epi, snap_ale = jax.lax.cond(
+            at_snap,
+            lambda: (out_avg.reshape(-1), jnp.var(ring_epi, axis=0, ddof=1),
+                     jnp.mean(ring_ale, axis=0)),
+            lambda: (state.snap_avg, state.snap_epi, state.snap_ale))
 
         new_state = TrainState(new_params, new_opt, out_avg, ring_epi,
                                ring_ale, snap_avg, snap_epi, snap_ale)
@@ -266,7 +304,9 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     cache_key = (problem.task, method_name, reparam, str(compute_dtype),
                  problem.gt.shape, problem.target.shape,
                  None if problem.mask is None else problem.mask.shape,
-                 None if problem.op_state is None else problem.op_state.shape)
+                 # op_state may be any pytree (dense matrix, banded blocks...)
+                 tuple((x.shape, str(x.dtype))
+                       for x in jax.tree.leaves(problem.op_state)))
     if cache_key in per_net:
         return per_net[cache_key]
 
@@ -391,11 +431,11 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         params=params,
         opt_state=opt_state,
         out_avg=jnp.zeros((1, h, w, n_out), jnp.float32),
-        ring_epi=jnp.zeros((MC_RING, h, w, mc), jnp.float32),
-        ring_ale=jnp.zeros((MC_RING, h, w, mc), jnp.float32),
-        snap_avg=jnp.zeros((1, h, w, n_out), jnp.float32),
-        snap_epi=jnp.zeros((h, w, mc), jnp.float32),
-        snap_ale=jnp.zeros((h, w, mc), jnp.float32),
+        ring_epi=jnp.zeros((MC_RING, h * w * mc), jnp.float32),
+        ring_ale=jnp.zeros((MC_RING, h * w * mc), jnp.float32),
+        snap_avg=jnp.zeros((h * w * n_out,), jnp.float32),
+        snap_epi=jnp.zeros((h * w * mc,), jnp.float32),
+        snap_ale=jnp.zeros((h * w * mc,), jnp.float32),
     )
     if device is not None:
         state = jax.device_put(state, device)
@@ -458,13 +498,14 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         # sweeps/benchmarks disable them via collect_snapshots=False)
         if collect_snapshots and start % show_every == 0 and start < num_iter:
             k = start // show_every
-            recons[k] = np.clip(
-                np.asarray(state.snap_avg)[0, ..., :mc], 0, 1
-            ).transpose(2, 0, 1)
+            snap_avg_img = np.asarray(state.snap_avg).reshape(h, w, n_out)
+            recons[k] = np.clip(snap_avg_img[..., :mc], 0, 1).transpose(2, 0, 1)
             if method.name != "dip":
-                unc_epi[k] = np.asarray(state.snap_epi).transpose(2, 0, 1)
+                unc_epi[k] = (np.asarray(state.snap_epi)
+                              .reshape(h, w, mc).transpose(2, 0, 1))
                 if problem.has_ale:
-                    unc_ale[k] = np.asarray(state.snap_ale).transpose(2, 0, 1)
+                    unc_ale[k] = (np.asarray(state.snap_ale)
+                                  .reshape(h, w, mc).transpose(2, 0, 1))
             if snapshot_fn is not None:
                 snapshot_fn(start, recons[k], unc_epi[k], unc_ale[k])
         if log_fn is not None:

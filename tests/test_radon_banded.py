@@ -1,0 +1,78 @@
+"""Block-banded Pallas Radon: golden vs the dense matmul mode (which is
+itself golden-tested against torch grid_sample in test_radon.py), adjoint
+consistency, and gradient agreement. Runs the real kernel code in interpreter
+mode on CPU (ops/pallas/radon_banded.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mfvi_dip_mia_tpu.ops.radon import FastRadonTransform
+
+THETA = np.arange(0.0, 180.0, 12.0)  # 15 angles: keeps interpret mode quick
+S = 128
+
+
+@pytest.fixture(scope="module")
+def ops():
+    rm = FastRadonTransform((1, S, S, 1), THETA, mode="matmul")
+    rb = FastRadonTransform((1, S, S, 1), THETA, mode="banded")
+    return rm, rb
+
+
+@pytest.fixture(scope="module")
+def img():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.uniform(size=(1, S, S, 1)).astype(np.float32))
+
+
+def test_banded_forward_matches_matmul(ops, img):
+    rm, rb = ops
+    s_m = rm.apply(img, rm.matrix())
+    s_b = rb.apply(img, rb.matrix())
+    assert s_b.shape == s_m.shape == (1, len(THETA), S, 1)
+    scale = float(jnp.max(jnp.abs(s_m)))
+    assert float(jnp.max(jnp.abs(s_m - s_b))) < 1e-5 * scale
+
+
+def test_banded_grad_matches_matmul(ops, img):
+    rm, rb = ops
+
+    def loss(r, x):
+        return jnp.sum(r.apply(x, r.matrix()) ** 2)
+
+    gm = jax.grad(lambda x: loss(rm, x))(img)
+    gb = jax.grad(lambda x: loss(rb, x))(img)
+    scale = float(jnp.max(jnp.abs(gm)))
+    assert float(jnp.max(jnp.abs(gm - gb))) < 1e-5 * scale
+
+
+def test_banded_adjoint_dot_product(ops):
+    """<A x, y> == <x, A^T y> through the custom VJP."""
+    _, rb = ops
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, S, S, 1)).astype(np.float32))
+    y = jnp.asarray(
+        rng.standard_normal((1, len(THETA), S, 1)).astype(np.float32))
+    ax = rb.apply(x, rb.matrix())
+    aty = rb.adjoint(y)
+    lhs = float(jnp.vdot(ax, y))
+    rhs = float(jnp.vdot(x, aty))
+    assert abs(lhs - rhs) < 1e-3 * max(abs(lhs), 1.0)
+
+
+def test_banded_band_window_invariant():
+    """Every (angle, patch) band fits the static JWIN window — the assertion
+    prepare_banded enforces; exercised here across an odd angle set."""
+    from mfvi_dip_mia_tpu.ops.pallas.radon_banded import (
+        prepare_banded, JWIN, TCHUNK)
+    from mfvi_dip_mia_tpu.ops.radon import _build_projection_matrix
+    theta = np.arange(0.0, 180.0, 36.0) + 7.0   # 5 awkward angles
+    a = _build_projection_matrix(theta, 64, 64)
+    st = prepare_banded(a, len(theta), 64, 64)
+    t_pad = -(-len(theta) // TCHUNK) * TCHUNK
+    g_count = st.blocks.shape[0]
+    assert st.blocks.shape[1] == t_pad // TCHUNK
+    assert st.jlo.shape == (t_pad * g_count,)
+    assert int(jnp.max(st.jlo)) <= 64 - JWIN
