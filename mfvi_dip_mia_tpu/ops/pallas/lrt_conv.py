@@ -11,8 +11,10 @@ ONE ``lax.conv_general_dilated`` by stacking [x, x^2] on the batch axis and
 [W_mu, W_sigma^2] on the output-feature axis is NOT valid (different inputs
 per kernel) — instead we stack on the *input feature* axis with block-diagonal
 weights, which XLA fuses into a single MXU pass; see ``_fused_double_conv``.
-A Pallas kernel variant can be enabled with MFVI_DIP_PALLAS_LRT=1 once
-validated on-device (ops/pallas: the hot-op playbook).
+With MFVI_DIP_PALLAS_LRT=1 the fused Pallas kernel
+(``lrt_conv_pallas.lrt_double_conv_pallas``) takes the stride-1 conv sites
+instead — one input stream, two zero-waste MXU contractions; shapes it does
+not support (stride 2, 3-D) keep the XLA path automatically.
 """
 
 from __future__ import annotations
@@ -45,10 +47,13 @@ def _fused_double_conv(x, w_mu, w_var, stride, padding):
 def lrt_conv(x, w_mu, w_rho, b_mu, b_rho, stride: int, padding: int, key):
     """LRT sampled convolution (training mode)."""
     w_sigma2 = jax.nn.softplus(w_rho) ** 2
-    if os.environ.get("MFVI_DIP_PALLAS_LRT") == "1":  # pragma: no cover
-        from .lrt_conv_pallas import lrt_double_conv_pallas
-        act_mu, act_var = lrt_double_conv_pallas(x, w_mu, w_sigma2, stride,
-                                                 padding)
+    use_pallas = os.environ.get("MFVI_DIP_PALLAS_LRT") == "1"
+    if use_pallas:
+        from . import lrt_conv_pallas as lp
+        use_pallas = lp.supported(x, w_mu, stride, padding)
+    if use_pallas:
+        act_mu, act_var = lp.lrt_double_conv_pallas(x, w_mu, w_sigma2,
+                                                    stride, padding)
     else:
         act_mu, act_var = _fused_double_conv(x, w_mu, w_sigma2, stride,
                                              padding)
