@@ -8,11 +8,11 @@ AdamW, EMA smoothing, ring buffers, and the per-iteration PSNR/SSIM triple
 don't).
 
 vs_baseline: the reference records no wall-clock numbers anywhere (BASELINE.md
-"Reference hardware context"), so the baseline constant below is our measured
-throughput of the torch reference loop's workload profile on its published
-hardware class (single V100-class GPU, torch 1.9): ~20 it/s for the 2M-param
-skip net at 256^2 with per-iteration metric readback. Documented assumption,
-revisit when a reference GPU measurement lands.
+"Reference hardware context"). scripts/measure_baseline.py measures the
+actual reference loop on this machine's CPU and derives a reference-favoring
+V100-class estimate from XLA's FLOP count (BASELINE_MEASURED.json);
+baseline_iters_per_sec() prefers that file and falls back to the legacy
+20 it/s assumption when it is absent.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,7 +23,24 @@ import argparse
 import json
 import sys
 
-REFERENCE_ITERS_PER_SEC = 20.0
+REFERENCE_ITERS_PER_SEC = 20.0  # legacy fallback when no measured file
+
+
+def baseline_iters_per_sec(metric: str) -> float:
+    """Derived reference throughput from BASELINE_MEASURED.json (written by
+    scripts/measure_baseline.py: measured torch-CPU rate + a FLOP-derived,
+    reference-favoring V100-class estimate). Falls back to the documented
+    20 it/s assumption when the file is absent."""
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    key = {"train": "den_ref_gpu_iters_per_sec",
+           "ct": "ct_ref_gpu_iters_per_sec"}.get(metric)
+    try:
+        with open(path) as f:
+            return float(json.load(f)[key])
+    except (OSError, KeyError, TypeError, ValueError):
+        return REFERENCE_ITERS_PER_SEC
 
 
 def main(argv=None):
@@ -33,9 +50,14 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=None)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--metric", choices=["train", "mc"], default="train",
-                        help="train: DIP iters/sec; mc: MC posterior "
-                             "samples/sec (vmapped)")
+    parser.add_argument("--metric", choices=["train", "ct", "mc"],
+                        default="train",
+                        help="train: denoising DIP iters/sec; ct: CT MFVI "
+                             "iters/sec (the BO north-star workload); mc: MC "
+                             "posterior samples/sec (vmapped)")
+    parser.add_argument("--metrics-every", type=int, default=None,
+                        help="metric-triple cadence (default: 1 for train, "
+                             "10 for ct — the BO sweep setting)")
     args = parser.parse_args(argv)
 
     import jax
@@ -51,9 +73,29 @@ def main(argv=None):
     size = args.size
     P.D.get_image_denoising = lambda img: (D.synthetic_xray(img, size),
                                            (size, size))
+    P.D.get_img_ct = lambda img: (D.synthetic_ct(img, size), (size, size))
 
     num_iter = args.iters or (100 if args.quick else 600)
     show_every = 100
+
+    if args.metric == "ct":
+        # the BO north-star workload: CT MFVI, 45-angle Radon in the loop,
+        # sparse metric cadence as run by the sweep (configs/test_mfvi_ct)
+        problem = build_problem("ct", "mfvi", 0, input_depth=16)
+        method = Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7)
+        res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
+                  show_every=show_every, collect_snapshots=False,
+                  metrics_every=args.metrics_every or 10)
+        value = float(res.iters_per_sec)
+        print(json.dumps({
+            "metric": f"mfvi_ct_iters_per_sec_{size}x{size}_45ang",
+            "value": round(value, 2),
+            "unit": "iters/sec",
+            "vs_baseline": round(value / baseline_iters_per_sec("ct"), 3),
+        }))
+        print(f"# devices={jax.devices()} compile={res.compile_seconds:.1f}s "
+              f"final_psnr={res.final_psnr:.2f}", file=sys.stderr)
+        return
 
     problem = build_problem("den", "mfvi", 0, input_depth=16)
     method = Method(name="mfvi", temp=5.66e-7, sigma=1.46e-5)  # test_mfvi_den
@@ -76,15 +118,20 @@ def main(argv=None):
         f = jax.jit(lambda p, k: mc_predict(
             lambda p, x, key: problem.net.apply(p, x, key=key, training=True),
             p, z, k, S))
+        def sync(o):
+            # block_until_ready through the remote relay can return before
+            # compute finishes — only a real value fetch synchronizes
+            return np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+
         out = f(params, key)
-        jax.block_until_ready(out)
+        sync(out)
         n_rep = 3 if args.quick else 10
         t0 = time.perf_counter()
         for i in range(n_rep):
             # fresh keys each call: the remote-TPU relay memoizes identical
             # (executable, args) requests, which would fake the timing
             out = f(params, jax.random.fold_in(key, i))
-        jax.block_until_ready(out)
+        sync(out)
         sps = S * n_rep / (time.perf_counter() - t0)
         # reference: sequential single-sample forwards on its GPU (~60/s est.)
         print(json.dumps({
@@ -101,7 +148,7 @@ def main(argv=None):
         "metric": f"mfvi_dip_iters_per_sec_{size}x{size}_denoising",
         "value": round(value, 2),
         "unit": "iters/sec",
-        "vs_baseline": round(value / REFERENCE_ITERS_PER_SEC, 3),
+        "vs_baseline": round(value / baseline_iters_per_sec("train"), 3),
     }))
     print(f"# devices={jax.devices()} compile={res.compile_seconds:.1f}s "
           f"final_psnr={res.final_psnr:.2f}", file=sys.stderr)

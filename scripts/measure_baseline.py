@@ -1,0 +1,139 @@
+"""Measure the torch reference's training throughput and derive a defensible
+GPU-class baseline for bench.py's vs_baseline ratio.
+
+Replaces the round-1 assumption (a flat 20 it/s guess) with:
+  1. a MEASURED number: the actual reference loop (/root/reference
+     bayesian_optimization.py run_den_mfvi / run_ct_dip) on this machine's
+     CPU, warmup-corrected;
+  2. a DERIVED V100-class estimate: per-iteration training FLOPs from XLA's
+     cost model (fwd+bwd of the same net/loss at 256^2), divided by an
+     optimistic effective throughput for a V100 on this workload
+     (15.7 TF/s f32 peak x 30% achievable on small-batch convs, and zero
+     host-sync overhead — the reference pays 6+ .item() syncs/iter, so this
+     OVERSTATES the reference and understates our vs_baseline).
+
+Writes BASELINE_MEASURED.json at the repo root; bench.py prefers it over the
+legacy constant. Run on a quiet machine:
+    python scripts/measure_baseline.py [--iters 60]
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+V100_PEAK_F32 = 15.7e12
+V100_EFF = 0.30   # optimistic achievable fraction for small-batch DIP convs
+
+
+def _ref_rate(run_fn, n_long, n_short, **kw):
+    """Warmup-corrected it/s: (long - short) / (t_long - t_short)."""
+    import tempfile
+
+    def run(n):
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            run_fn(num_iter=n, plot=False, save=False, save_path=td, **kw)
+            return time.perf_counter() - t0
+
+    t_short = run(n_short)
+    t_long = run(n_long)
+    return (n_long - n_short) / max(t_long - t_short, 1e-9)
+
+
+def train_flops_per_iter(task: str) -> float:
+    """fwd+bwd FLOPs of the 256^2 workload from XLA's cost model (CPU)."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from mfvi_dip_mia_tpu.nn import build_skip_net
+    from mfvi_dip_mia_tpu.bayes import to_mfvi, vi
+    from mfvi_dip_mia_tpu.ops import gaussian_nll
+
+    n_out = 1 if task == "ct" else 2
+    net = build_skip_net(16, n_channels=n_out, pad="reflection",
+                         skip_n33d=[16, 32, 64, 128, 128],
+                         skip_n33u=[16, 32, 64, 128, 128],
+                         skip_n11=4, num_scales=5, upsample_mode="bilinear")
+    key = jax.random.PRNGKey(0)
+    params = to_mfvi(net.init(key), jax.random.fold_in(key, 1))
+    x = jnp.zeros((1, 256, 256, 16))
+    tgt = jnp.zeros((1, 256, 256, 1))
+
+    def loss(p):
+        out = net.apply(p, x, key=key, training=True)
+        if n_out == 2:
+            l = gaussian_nll(out[..., :1], out[..., 1:], tgt)
+        else:
+            l = jnp.mean((out - tgt) ** 2)
+        return l + 1e-6 * vi.kl_mfvi(p, 0.0, 1e-6)
+
+    compiled = jax.jit(jax.value_and_grad(loss)).lower(params).compile()
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+    return float(cost["flops"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--short", type=int, default=15)
+    args = ap.parse_args()
+
+    import ref_oracle
+    ref = ref_oracle.import_reference()
+    import numpy as np
+    import torch
+    import os
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    from mfvi_dip_mia_tpu.tasks.data import synthetic_xray, synthetic_ct
+    img_den = synthetic_xray(0, 256)
+    img_ct = synthetic_ct(0, 256)
+    ref.get_image_denoising = lambda i: (img_den, (256, 256))
+    ref.get_img_ct = lambda i: (img_ct, (256, 256))
+
+    print("measuring reference den/mfvi (torch CPU)...")
+    den_cpu = _ref_rate(ref.run_den_mfvi, args.iters, args.short,
+                        img=0, lr=3e-4, temp=4e-6, sigma=0.01,
+                        show_every=1000)
+    print(f"  {den_cpu:.2f} it/s")
+    print("measuring reference ct/dip (torch CPU)...")
+    ct_cpu = _ref_rate(ref.run_ct_dip, args.iters, args.short,
+                       img=0, lr=3e-4, show_every=1000)
+    print(f"  {ct_cpu:.2f} it/s")
+
+    print("deriving per-iteration FLOPs (XLA cost model, CPU)...")
+    den_flops = train_flops_per_iter("den")
+    ct_flops = train_flops_per_iter("ct")
+    den_gpu = V100_PEAK_F32 * V100_EFF / den_flops
+    ct_gpu = V100_PEAK_F32 * V100_EFF / ct_flops
+
+    out = {
+        "den_ref_cpu_iters_per_sec": round(den_cpu, 3),
+        "ct_ref_cpu_iters_per_sec": round(ct_cpu, 3),
+        "den_train_flops_per_iter": den_flops,
+        "ct_train_flops_per_iter": ct_flops,
+        "den_ref_gpu_iters_per_sec": round(den_gpu, 2),
+        "ct_ref_gpu_iters_per_sec": round(ct_gpu, 2),
+        "derivation": (
+            f"gpu estimate = {V100_PEAK_F32:.3g} FLOP/s (V100 f32 peak) "
+            f"x {V100_EFF} achievable / measured fwd+bwd FLOPs; host-sync "
+            "overhead of the reference loop ignored (favors the reference). "
+            "cpu numbers measured on this machine via tests/ref_oracle "
+            "with the synthetic 256^2 image, warmup-corrected."),
+        "machine_cpu_threads": torch.get_num_threads(),
+    }
+    path = REPO / "BASELINE_MEASURED.json"
+    path.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"wrote {path}:\n{json.dumps(out, indent=2)}")
+
+
+if __name__ == "__main__":
+    main()
