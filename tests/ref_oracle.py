@@ -86,6 +86,10 @@ def import_reference():
     sys.path.insert(0, REFERENCE)
     try:
         import bayesian_optimization as ref_bo
+        # the CT runners lazily `from radon import FastRadonTransform`
+        # (bayesian_optimization.py:280,463,672,883) — bind the module into
+        # sys.modules while the reference path is still active
+        import radon  # noqa: F401
     finally:
         sys.path.remove(REFERENCE)
     _cached = ref_bo
