@@ -63,6 +63,8 @@ def main(argv=None):
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from mfvi_dip_mia_tpu.utils.prng import configure as configure_prng
+    configure_prng()  # rbg on TPU (+4-7% end-to-end), threefry elsewhere
 
     import numpy as np
     import mfvi_dip_mia_tpu.tasks.data as D

@@ -28,6 +28,9 @@ def main(argv=None):
     parser.add_argument("--metrics-every", type=int, default=None)
     args = parser.parse_args(argv)
 
+    from .utils.prng import configure as configure_prng
+    configure_prng()  # rbg on TPU (+4-7% end-to-end), threefry elsewhere
+
     config = load_config(args.config)
     bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
                  for k, v in config.bo_params.items()}
