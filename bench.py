@@ -51,9 +51,10 @@ def main(argv=None):
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--metric", choices=["train", "ct", "mc"],
-                        default="train",
-                        help="train: denoising DIP iters/sec; ct: CT MFVI "
-                             "iters/sec (the BO north-star workload); mc: MC "
+                        default="ct",
+                        help="ct (default): CT MFVI iters/sec — the BO "
+                             "north-star workload (bo_mfvi_ct < 1 h); "
+                             "train: denoising DIP iters/sec; mc: MC "
                              "posterior samples/sec (vmapped)")
     parser.add_argument("--metrics-every", type=int, default=None,
                         help="metric-triple cadence (default: 1 for train, "
