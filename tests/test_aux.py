@@ -214,3 +214,33 @@ def test_gaussian_dropout_moments(rng):
     mean = np.asarray(jnp.mean(outs, 0))
     ref = np.asarray(layers.conv2d(x, w, None, 1, 1))
     np.testing.assert_allclose(mean, ref, atol=0.1)
+
+
+def test_prng_configure_cpu_default(monkeypatch):
+    """utils/prng: CPU backends resolve to threefry; env var overrides."""
+    import jax
+    from mfvi_dip_mia_tpu.utils import prng
+    monkeypatch.delenv("MFVI_DIP_PRNG", raising=False)
+    assert prng.configure() == "threefry2x32"   # tests run on CPU
+    monkeypatch.setenv("MFVI_DIP_PRNG", "rbg")
+    assert prng.configure() == "rbg"
+    assert jax.config.jax_default_prng_impl == "rbg"
+    prng.configure("threefry2x32")              # restore for other tests
+
+
+def test_bench_baseline_prefers_measured_file():
+    """bench.baseline_iters_per_sec reads BASELINE_MEASURED.json (the
+    measured reference estimate) and falls back to the legacy constant for
+    unknown metrics."""
+    import importlib.util, pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location("bench", root / "bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import json
+    measured = json.loads((root / "BASELINE_MEASURED.json").read_text())
+    assert bench.baseline_iters_per_sec("train") == pytest.approx(
+        measured["den_ref_gpu_iters_per_sec"])
+    assert bench.baseline_iters_per_sec("ct") == pytest.approx(
+        measured["ct_ref_gpu_iters_per_sec"])
+    assert bench.baseline_iters_per_sec("mc") == bench.REFERENCE_ITERS_PER_SEC
