@@ -113,6 +113,81 @@ def prepare_banded(a_f32: np.ndarray, n_angles: int, h: int, w: int,
                             jnp.asarray(jlo.reshape(-1)), n_angles, w)
 
 
+def prepare_banded_direct(theta_deg, h: int, w: int,
+                          dtype=jnp.float32) -> BandedRadonState:
+    """Build the banded blocks straight from the angles — the dense
+    (T*W, H*W) matrix is never materialized.
+
+    This is what makes large fields of view feasible at all: at 512^2 / 45
+    angles the dense matrix is 24 GB (host AND device), while the band is
+    3.0 GB f32 / 1.5 GB bf16 on device and only ~35 MB of host scratch per
+    angle here. Same corner/weight math as ops/radon.py's dense builder
+    (torch affine_grid / grid_sample align_corners=False convention,
+    radon/radon.py:36-55), golden-tested against it.
+    """
+    assert h == w and h % PATCH == 0, (h, w)
+    assert w >= JWIN, f"banded mode needs W >= {JWIN}, got {w}"
+    gside = w // PATCH
+    g_count = gside * gside
+    theta_rad = np.deg2rad(np.asarray(theta_deg, np.float64))
+    n_angles = len(theta_rad)
+    t_pad = -(-n_angles // TCHUNK) * TCHUNK
+
+    jj = (2.0 * np.arange(w) + 1.0) / w - 1.0
+    ii = (2.0 * np.arange(h) + 1.0) / h - 1.0
+    x = np.broadcast_to(jj[None, :], (h, w))
+    y = np.broadcast_to(ii[:, None], (h, w))
+    out_j = np.broadcast_to(np.arange(w)[None, :], (h, w)).ravel()
+
+    blocks = np.zeros((t_pad, g_count, JWIN, PP), np.float32)
+    jlo = np.zeros((t_pad, g_count), np.int32)
+
+    for t, th in enumerate(theta_rad):
+        c, s = np.cos(th), np.sin(th)
+        ix = (((c * x - s * y) + 1.0) * w - 1.0) / 2.0
+        iy = (((s * x + c * y) + 1.0) * h - 1.0) / 2.0
+        x0 = np.floor(ix)
+        y0 = np.floor(iy)
+        fx = (ix - x0).ravel()
+        fy = (iy - y0).ravel()
+        x0 = x0.ravel().astype(np.int64)
+        y0 = y0.ravel().astype(np.int64)
+
+        gs, js, locs, ws = [], [], [], []
+        for dy, dx, wgt in ((0, 0, (1 - fx) * (1 - fy)),
+                            (0, 1, fx * (1 - fy)),
+                            (1, 0, (1 - fx) * fy),
+                            (1, 1, fx * fy)):
+            xc, yc = x0 + dx, y0 + dy
+            valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
+                     & (wgt > 0))
+            xc, yc, wv = xc[valid], yc[valid], wgt[valid]
+            gs.append((yc // PATCH) * gside + xc // PATCH)
+            js.append(out_j[valid])
+            locs.append((yc % PATCH) * PATCH + xc % PATCH)
+            ws.append(wv.astype(np.float32))
+        g = np.concatenate(gs)
+        j = np.concatenate(js)
+        loc = np.concatenate(locs)
+        wv = np.concatenate(ws)
+
+        jmin = np.full(g_count, w, np.int64)
+        jmax = np.full(g_count, -1, np.int64)
+        np.minimum.at(jmin, g, j)
+        np.maximum.at(jmax, g, j)
+        lo = np.clip((jmin // 8) * 8, 0, w - JWIN)
+        assert (jmax < lo + JWIN).all(), (
+            f"band wider than JWIN at angle {t}")
+        jlo[t] = np.where(jmax >= 0, lo, 0)
+        np.add.at(blocks[t].reshape(-1),
+                  (g * JWIN + (j - lo[g])) * PP + loc, wv)
+
+    blocks = (blocks.transpose(1, 0, 2, 3)
+              .reshape(g_count, t_pad // TCHUNK, TCHUNK * JWIN, PP))
+    return BandedRadonState(jnp.asarray(blocks).astype(dtype),
+                            jnp.asarray(jlo.reshape(-1)), n_angles, w)
+
+
 def patchify(image_nhwc: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B*C, G*PP) cols-LEADING patch-major pixel matrix.
 

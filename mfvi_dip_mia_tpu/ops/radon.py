@@ -197,18 +197,22 @@ class FastRadonTransform:
         key = (tuple(self.theta_deg.tolist()), self.h, self.w, self.mode,
                str(jax.devices()[0]))
         if key not in _MATRIX_CACHE:
-            a = _build_projection_matrix(self.theta_deg, self.h, self.w)
-            if self.mode == "pallas":
-                from .pallas.radon_kernel import prepare_matrix_bf16
-                _MATRIX_CACHE[key] = jax.device_put(prepare_matrix_bf16(a))
-            elif self.mode in ("banded", "banded-bf16"):
-                from .pallas.radon_banded import prepare_banded
+            if self.mode in ("banded", "banded-bf16"):
+                # band blocks are built straight from the angles — at large
+                # fields of view the dense matrix would not even fit host
+                # RAM (24 GB at 512^2/45 angles vs a 3.0 GB f32 band)
+                from .pallas.radon_banded import prepare_banded_direct
                 dt = (jnp.bfloat16 if self.mode == "banded-bf16"
                       else jnp.float32)
-                state = prepare_banded(a, self.n_angles, self.h, self.w,
-                                       dtype=dt)
+                state = prepare_banded_direct(self.theta_deg, self.h,
+                                              self.w, dtype=dt)
                 _MATRIX_CACHE[key] = jax.device_put(state)
+            elif self.mode == "pallas":
+                from .pallas.radon_kernel import prepare_matrix_bf16
+                a = _build_projection_matrix(self.theta_deg, self.h, self.w)
+                _MATRIX_CACHE[key] = jax.device_put(prepare_matrix_bf16(a))
             else:
+                a = _build_projection_matrix(self.theta_deg, self.h, self.w)
                 _MATRIX_CACHE[key] = jax.device_put(a)
         return _MATRIX_CACHE[key]
 

@@ -76,3 +76,21 @@ def test_banded_band_window_invariant():
     assert st.blocks.shape[1] == t_pad // TCHUNK
     assert st.jlo.shape == (t_pad * g_count,)
     assert int(jnp.max(st.jlo)) <= 64 - JWIN
+
+
+def test_prepare_direct_matches_dense_derived():
+    """prepare_banded_direct (no dense materialization — the 512^2 enabler)
+    must produce the same blocks/jlo as slicing the dense matrix."""
+    from mfvi_dip_mia_tpu.ops.pallas.radon_banded import (
+        prepare_banded, prepare_banded_direct)
+    from mfvi_dip_mia_tpu.ops.radon import _build_projection_matrix
+    theta = np.arange(0.0, 180.0, 36.0) + 7.0
+    a = _build_projection_matrix(theta, 64, 64)
+    st_dense = prepare_banded(a, len(theta), 64, 64)
+    st_direct = prepare_banded_direct(theta, 64, 64)
+    np.testing.assert_array_equal(np.asarray(st_dense.jlo),
+                                  np.asarray(st_direct.jlo))
+    np.testing.assert_allclose(np.asarray(st_dense.blocks),
+                               np.asarray(st_direct.blocks),
+                               rtol=0, atol=2e-6)
+    assert st_direct.n_angles == len(theta) and st_direct.w == 64
