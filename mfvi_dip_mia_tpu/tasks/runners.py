@@ -76,7 +76,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
              seed: int = 42, show_every: int = 100, plot: bool = True,
              save: bool = True, save_path: str = "./logs",
              log_every_chunk: bool = False, metrics_every: int = 1,
-             **kwargs) -> float:
+             chunk_iters=None, **kwargs) -> float:
     """Generic runner; the 16 named wrappers below pin (task, method)."""
     from ..utils import viz
 
@@ -139,7 +139,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
 
     res = fit(problem, method, num_iter=num_iter, lr=lr, seed=seed,
               show_every=show_every, rng=rng, device=dev,
-              metrics_every=metrics_every,
+              metrics_every=metrics_every, chunk_iters=chunk_iters,
               collect_snapshots=(plot or save),
               log_fn=log_fn if log_every_chunk else None,
               snapshot_fn=snapshot_fn if plot else None)
