@@ -94,3 +94,15 @@ def test_prepare_direct_matches_dense_derived():
                                np.asarray(st_direct.blocks),
                                rtol=0, atol=2e-6)
     assert st_direct.n_angles == len(theta) and st_direct.w == 64
+
+
+def test_patchify_roundtrip():
+    """unpatchify is the documented inverse of patchify (the cols-leading
+    pixel-matrix layout the banded kernel consumes)."""
+    from mfvi_dip_mia_tpu.ops.pallas.radon_banded import patchify, unpatchify
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+    v = patchify(x)
+    assert v.shape == (6, 64 * 64)
+    np.testing.assert_array_equal(np.asarray(unpatchify(v, 2, 64, 64, 3)),
+                                  np.asarray(x))
