@@ -34,9 +34,48 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+from . import cf
 from . import init as init_lib
 from . import layers
 from .var_conv import apply_conv_leaf
+
+
+class _NHWCOps:
+    """Channels-last op set (torch artifact parity at the boundaries)."""
+    is_cf = False
+    reflection_pad = staticmethod(layers.reflection_pad)
+    apply_conv_leaf = staticmethod(apply_conv_leaf)
+    dropout = staticmethod(layers.dropout)
+    dropout2d = staticmethod(layers.dropout2d)
+    avg_pool = staticmethod(layers.avg_pool)
+    max_pool = staticmethod(layers.max_pool)
+    batch_norm_train = staticmethod(layers.batch_norm_train)
+    upsample2x = staticmethod(layers.upsample2x)
+    concat_center_crop = staticmethod(layers.concat_center_crop)
+
+
+class _CFOps:
+    """Channels-first op set for high-res levels: (1, C, H, W) tensors keep
+    W on lanes / H on sublanes — dense under either of XLA's layout-heuristic
+    modes, where small-C NHWC activations degrade to 8x-padded
+    channels-on-lanes tilings whenever a custom call is in the module
+    (see nn/cf.py docstring; measured round 3)."""
+    is_cf = True
+    reflection_pad = staticmethod(cf.reflection_pad)
+    apply_conv_leaf = staticmethod(cf.apply_conv_leaf_cf)
+    dropout = staticmethod(cf.dropout)
+    dropout2d = staticmethod(cf.dropout2d)
+    avg_pool = staticmethod(cf.avg_pool)
+    max_pool = staticmethod(cf.max_pool)
+    batch_norm_train = staticmethod(cf.batch_norm_train)
+    upsample2x = staticmethod(cf.upsample2x)
+    concat_center_crop = staticmethod(cf.concat_center_crop)
+
+
+# levels whose input spatial extent is at least this run channels-first in
+# layout='auto' mode (below it, channel counts reach >=64 and channels-on-
+# lanes tilings are dense anyway, while W shrinks under a lane tile)
+CF_MIN_SIZE = 128
 
 
 @dataclasses.dataclass(frozen=True)
@@ -198,24 +237,26 @@ class SkipNet:
     # -- apply --------------------------------------------------------------
 
     def _conv_site(self, s: ConvSite, leaf, x, key, training, reparam,
-                   dropout_p=None):
+                   dropout_p=None, skip_bias=False, ops=_NHWCOps):
         to_pad = (s.kernel - 1) // 2
         if s.pad_mode == "reflection":
-            x = layers.reflection_pad(x, to_pad)
+            x = ops.reflection_pad(x, to_pad)
             to_pad = 0
         stride, pool = s.stride, None
         if s.stride != 1 and s.downsample_mode != "stride":
             stride, pool = 1, s.downsample_mode
             if s.downsample_mode in ("lanczos2", "lanczos3"):
                 # fixed anti-aliased downsampler after the conv
-                # (ref models/common.py:109-111)
+                # (ref models/common.py:109-111); NHWC-only — CF sites wrap
+                # it with transposes (rare: lanczos is an opt-in mode)
                 from ..ops.downsampler import Downsampler
                 pool = Downsampler(s.c_out, s.stride, s.downsample_mode,
                                    phase=0.5, preserve_size=True)
         site_key = (jax.random.fold_in(key, s.site_id)
                     if key is not None else None)
-        out = apply_conv_leaf(leaf, x, stride=stride, padding=to_pad,
-                              key=site_key, training=training, reparam=reparam)
+        out = ops.apply_conv_leaf(leaf, x, stride=stride, padding=to_pad,
+                                  key=site_key, training=training,
+                                  reparam=reparam, skip_bias=skip_bias)
         if s.dropout_mode != "None" and training:
             if site_key is None:
                 raise ValueError("dropout needs a PRNG key")
@@ -224,60 +265,100 @@ class SkipNet:
             # dropout rates on one compiled graph)
             p = s.dropout_p if dropout_p is None else dropout_p
             if s.dropout_mode == "2d":
-                out = layers.dropout2d(out, p, dkey)
+                out = ops.dropout2d(out, p, dkey)
             else:
-                out = layers.dropout(out, p, dkey)
+                out = ops.dropout(out, p, dkey)
         if pool == "avg":
-            out = layers.avg_pool(out, s.stride)
+            out = ops.avg_pool(out, s.stride)
         elif pool == "max":
-            out = layers.max_pool(out, s.stride)
+            out = ops.max_pool(out, s.stride)
         elif callable(pool):
-            out = pool(out)
+            if ops.is_cf:
+                out = cf.to_cf(pool(cf.from_cf(out)))
+            else:
+                out = pool(out)
         return out
 
     def _conv_bn_act(self, s: ConvSite, p, x, key, training, reparam,
-                     dropout_p=None):
-        x = self._conv_site(s, p["conv"], x, key, training, reparam, dropout_p)
-        x = layers.batch_norm_train(x, p["bn"]["scale"], p["bn"]["offset"])
+                     dropout_p=None, ops=_NHWCOps):
+        # The conv bias is a per-channel constant that the train-mode BN's
+        # mean subtraction removes EXACTLY (see apply_conv_leaf), so skip the
+        # add and its (analytically zero, but full-map-reduction) gradient —
+        # unless something nonlinear/noisy sits between conv and BN: dropout
+        # (multiplicative per-element), a Lanczos pool (callable), or LRT
+        # (bias variance feeds per-pixel noise).
+        skip_bias = (s.dropout_mode == "None" and reparam != "lrt"
+                     and (s.stride == 1
+                          or s.downsample_mode in ("stride", "avg", "max")))
+        x = self._conv_site(s, p["conv"], x, key, training, reparam, dropout_p,
+                            skip_bias=skip_bias, ops=ops)
+        x = ops.batch_norm_train(x, p["bn"]["scale"], p["bn"]["offset"])
         return self.act(x)
 
-    def _apply_level(self, params, i, x, key, training, reparam, dropout_p):
+    def _use_cf(self, layout: str, x_nhwc) -> bool:
+        return (layout == "auto"
+                and min(x_nhwc.shape[1], x_nhwc.shape[2]) >= CF_MIN_SIZE)
+
+    def _apply_level(self, params, i, x, key, training, reparam, dropout_p,
+                     layout="nhwc"):
         cfg = self.levels[i]
         lv = params["levels"][i]
 
+        # layout decision is static (shapes are): high-res levels run NCHW;
+        # adjacent to_cf/from_cf transposes between consecutive CF levels
+        # cancel in XLA's algebraic simplifier, so converting at every level
+        # boundary costs nothing in the compiled program.
+        use_cf = self._use_cf(layout, x)
+        ops = _CFOps if use_cf else _NHWCOps
+        if use_cf:
+            x = cf.to_cf(x)
+
         h = self._conv_bn_act(cfg.down1, lv["down1"], x, key, training,
-                              reparam, dropout_p)
+                              reparam, dropout_p, ops)
         h = self._conv_bn_act(cfg.down2, lv["down2"], h, key, training,
-                              reparam, dropout_p)
+                              reparam, dropout_p, ops)
         if i < self.n_scales - 1:
-            h = self._apply_level(params, i + 1, h, key, training, reparam,
-                                  dropout_p)
-        h = layers.upsample2x(h, cfg.upsample_mode)
+            h_nhwc = cf.from_cf(h) if use_cf else h
+            h_nhwc = self._apply_level(params, i + 1, h_nhwc, key, training,
+                                       reparam, dropout_p, layout)
+            h = cf.to_cf(h_nhwc) if use_cf else h_nhwc
+        h = ops.upsample2x(h, cfg.upsample_mode)
 
         if cfg.skip_conv is not None:
             s = self._conv_bn_act(cfg.skip_conv, lv["skip"], x, key, training,
-                                  reparam, dropout_p)
-            z = layers.concat_center_crop([s, h])
+                                  reparam, dropout_p, ops)
+            z = ops.concat_center_crop([s, h])
         else:
             z = h
-        z = layers.batch_norm_train(z, lv["bn_cat"]["scale"],
-                                    lv["bn_cat"]["offset"])
+        z = ops.batch_norm_train(z, lv["bn_cat"]["scale"],
+                                 lv["bn_cat"]["offset"])
         z = self._conv_bn_act(cfg.up, lv["up"], z, key, training, reparam,
-                              dropout_p)
+                              dropout_p, ops)
         if cfg.up1x1 is not None:
             z = self._conv_bn_act(cfg.up1x1, lv["up1x1"], z, key, training,
-                                  reparam, dropout_p)
-        return z
+                                  reparam, dropout_p, ops)
+        return cf.from_cf(z) if use_cf else z
 
     def apply(self, params, x, key=None, training: bool = True,
-              reparam: str = "rt", dropout_p=None):
-        """Forward pass. ``x``: NHWC. ``key`` drives weight sampling (MFVI)
-        and dropout; pass None for a purely deterministic forward.
-        ``dropout_p`` (optionally traced) overrides every site's rate."""
-        z = self._apply_level(params, 0, x, key, training, reparam, dropout_p)
+              reparam: str = "rt", dropout_p=None, layout: str = "nhwc"):
+        """Forward pass. ``x``: NHWC (both layouts; 'auto' only changes the
+        internal compute layout). ``key`` drives weight sampling (MFVI) and
+        dropout; pass None for a purely deterministic forward. ``dropout_p``
+        (optionally traced) overrides every site's rate. ``layout='auto'``
+        runs levels with spatial extent >= CF_MIN_SIZE channels-first
+        (numerically identical modulo float summation order; same PRNG
+        stream)."""
+        z = self._apply_level(params, 0, x, key, training, reparam, dropout_p,
+                              layout)
         s = self.out_conv
+        use_cf = self._use_cf(layout, z)
+        if use_cf:
+            z = cf.to_cf(z)
         z = self._conv_site(s, params["out"]["conv"], z, key, training,
-                            reparam, dropout_p)
+                            reparam, dropout_p,
+                            ops=_CFOps if use_cf else _NHWCOps)
+        if use_cf:
+            z = cf.from_cf(z)
         if self.need_sigmoid:
             z = jax.nn.sigmoid(z)
         return z

@@ -23,7 +23,8 @@ def is_variational_leaf(node) -> bool:
 
 
 def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
-                    training: bool = True, reparam: str = "rt") -> jnp.ndarray:
+                    training: bool = True, reparam: str = "rt",
+                    skip_bias: bool = False) -> jnp.ndarray:
     """Apply one conv site given its parameter leaf.
 
     * deterministic leaf {'w','b'} -> plain conv
@@ -35,6 +36,17 @@ def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
 
     Kernels may be 4-D (HWIO, 2-D conv) or 5-D (DHWIO, 3-D conv — the
     Conv3dRT/LRT analog).
+
+    ``skip_bias=True`` elides the bias add (and, for RT, the bias sample).
+    Callers set it when the site feeds train-mode BatchNorm directly: a
+    per-channel constant is removed exactly by the mean subtraction (and for
+    RT the sampled bias is constant over (N, H, W) too), so the output is
+    identical to float rounding while the backward drops one full-map
+    reduction per site — the reference computes the same gradients as exact
+    zeros (torch Conv2d bias -> BatchNorm2d train mode). The bias leaves
+    still exist and still receive their KL / weight-decay updates. Not valid
+    for LRT (bias *variance* feeds per-pixel activation noise, which BN does
+    not remove); callers gate on reparam.
     """
     def _conv(x_, w_, b_):
         if w_.ndim == 5:
@@ -42,10 +54,10 @@ def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
         return layers.conv2d(x_, w_, b_, stride, padding)
 
     if not is_variational_leaf(leaf):
-        return _conv(x, leaf["w"], leaf.get("b"))
+        return _conv(x, leaf["w"], None if skip_bias else leaf.get("b"))
 
     w_mu, w_rho = leaf["w_mu"], leaf["w_rho"]
-    b_mu = leaf.get("b_mu")
+    b_mu = None if (skip_bias and reparam != "lrt") else leaf.get("b_mu")
     b_rho = leaf.get("b_rho")
 
     if not training:

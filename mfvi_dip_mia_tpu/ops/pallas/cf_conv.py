@@ -1,0 +1,260 @@
+"""Channels-first VALID convolution as a Pallas TPU kernel.
+
+Why a hand-written conv: XLA's convolution ops pin channels-minor
+({...:T(1,128)}-family) layouts onto their operands whenever a custom call is
+present in the module (the banded Radon kernel — see nn/cf.py), padding every
+C=16/32 lane vector 8x/4x and inflating the surrounding elementwise/reduce
+fusions 3-4x. Replacing the high-res levels' convs with this kernel removes
+the conv ops from XLA's sight entirely: the (C, H, W) activations keep W on
+lanes / H on sublanes (dense under any heuristic), and the conv itself is a
+K=kh*kw*C_in MXU contraction per row tile.
+
+Scope (deliberately minimal — composition happens in XLA on dense tensors):
+  * VALID convolution only; reflection/zero padding is a jnp.pad OUTSIDE
+    (cheap on dense CF tensors, and its transpose — the reflect fold — is
+    autodiff'd by JAX).
+  * stride 1 only; stride-2 sites subsample the stride-1 output ([::2, ::2]
+    — identical values, and the 4x extra compute at 16-36 channels is noise
+    next to the layout win).
+  * batch 1 (the DIP workload), square kernels 1/3/5.
+
+Backward (custom_vjp):
+  dx = same kernel on the zero-padded cotangent with the flipped/transposed
+       kernel (a full correlation);
+  dw = kh*kw multi-dim dot_generals (XLA dots carry no conv layout
+       preference) contracting (H, W).
+
+Weights enter as the same HWIO tensors the rest of the framework uses; the
+kernel consumes a per-tap zero-padded (O, kh*kw*I_pad) matrix so every
+sublane write in the patch build is 8-aligned.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TH = 8  # output rows per grid step
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round8(n: int) -> int:
+    return -(-n // 8) * 8
+
+
+def supported(x_chw, w, stride: int) -> bool:
+    """Static gate; callers fall back to the XLA NCHW conv when False.
+    (Non-tile-divisible output heights are handled by row padding inside
+    conv_valid_cf, so the only requirements are kernel/rank/stride shape and
+    a wide-enough row for the lane dimension to pay off.)"""
+    if w.ndim != 4 or w.shape[0] != w.shape[1] or w.shape[0] not in (1, 3, 5):
+        return False
+    if x_chw.ndim != 3:
+        return False
+    if stride not in (1, 2):
+        return False
+    kh = w.shape[0]
+    return x_chw.shape[2] - kh + 1 >= 64
+
+
+def _wmat(w: jnp.ndarray, i_pad: int) -> jnp.ndarray:
+    """(kh, kw, I, O) -> (O, kh*kw*i_pad) with per-tap zero padding so the
+    kernel's patch rows are 8-aligned."""
+    kh, kw, i, o = w.shape
+    wm = jnp.transpose(w, (3, 0, 1, 2))           # (O, kh, kw, I)
+    if i_pad != i:
+        wm = jnp.pad(wm, ((0, 0), (0, 0), (0, 0), (0, i_pad - i)))
+    return wm.reshape(o, kh * kw * i_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("kh", "kw", "h_out", "w_out"))
+def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int):
+    """xp: (I, Hp, Wp); wmat: (O, kh*kw*I_pad). Returns (O, h_out, w_out)."""
+    i_ch, hp, wp = xp.shape
+    i_pad = wmat.shape[1] // (kh * kw)
+    o_ch = wmat.shape[0]
+    n_tiles = h_out // TH
+    # DMA slices must be 8-aligned on the sublane (row) dim: round the slab
+    # up and over-read zero-padded rows (the caller guarantees hp covers it)
+    slab_rows = _round8(TH + kh - 1)
+    acc_dtype = jnp.float32
+    precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def kernel(x_hbm, wm_ref, o_ref, slab, patches, sem):
+        t = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
+        cp.start()
+        cp.wait()
+        for ky in range(kh):
+            for kx in range(kw):
+                tap = ky * kw + kx
+                patches[tap * i_pad:tap * i_pad + i_ch] = (
+                    slab[:, ky:ky + TH, kx:kx + w_out])
+        out = jax.lax.dot_general(
+            wm_ref[:], patches[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+            precision=precision)
+        o_ref[:] = out.astype(o_ref.dtype)
+
+    scratch = [
+        pltpu.VMEM((i_ch, slab_rows, wp), xp.dtype),
+        pltpu.VMEM((kh * kw * i_pad, TH, w_out), xp.dtype),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+
+    grid = (n_tiles,)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = pl.BlockSpec((o_ch, TH, w_out), lambda t: (0, t, 0),
+                             memory_space=pltpu.VMEM)
+
+    if i_pad != i_ch:
+        def kernel_padded(x_hbm, wm_ref, o_ref, slab, patches, sem):
+            t = pl.program_id(0)
+            cp = pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
+            cp.start()
+
+            @pl.when(t == 0)
+            def _():
+                patches[:] = jnp.zeros_like(patches)
+
+            cp.wait()
+            for ky in range(kh):
+                for kx in range(kw):
+                    tap = ky * kw + kx
+                    patches[tap * i_pad:tap * i_pad + i_ch] = (
+                        slab[:, ky:ky + TH, kx:kx + w_out])
+            out = jax.lax.dot_general(
+                wm_ref[:], patches[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=acc_dtype,
+                precision=precision)
+            o_ref[:] = out.astype(o_ref.dtype)
+
+        kernel = kernel_padded
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=jax.ShapeDtypeStruct((o_ch, h_out, w_out), xp.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * o_ch * kh * kw * i_pad * h_out * w_out,
+            bytes_accessed=(xp.size + o_ch * h_out * w_out + wmat.size)
+            * xp.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=(None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=10 * 1024 * 1024,
+            dimension_semantics=("arbitrary",))),
+        interpret=_interpret(),
+    )(xp, wmat)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_valid_cf(xp: jnp.ndarray, w: jnp.ndarray, kdims) -> jnp.ndarray:
+    """VALID conv: xp (I, Hp, Wp) x w (kh, kw, I, O) -> (O, H, W).
+    ``kdims`` = (kh, kw) static (w's shape, passed statically for the vjp).
+    Output heights that do not tile by TH are handled by zero-row padding
+    (extra VALID outputs are sliced off — values unaffected)."""
+    kh, kw = kdims
+    i_pad = _round8(xp.shape[0])
+    h_out = xp.shape[1] - kh + 1
+    w_out = xp.shape[2] - kw + 1
+    pad_r = (-h_out) % TH
+    h_run = h_out + pad_r
+    # rows the kernel's (8-aligned) slab DMA can touch on its last tile
+    need_rows = (h_run - TH) + _round8(TH + kh - 1)
+    pad_rows = max(need_rows - xp.shape[1], pad_r)
+    # Mosaic needs 128-aligned lane extents twice over: the HBM->VMEM DMA
+    # slice width AND the (K, TH, w) -> (K, TH*w) patch reshape inside the
+    # in-kernel dot. Run the kernel at a 128-padded output width on a
+    # 128-padded input; the zero pad columns produce garbage VALID outputs
+    # that are sliced off (values of the kept columns unaffected).
+    w_run = -(-w_out // 128) * 128
+    wp_target = -(-max(xp.shape[2], w_run + kw - 1) // 128) * 128
+    pad_cols = wp_target - xp.shape[2]
+    if pad_rows or pad_cols:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    out = _conv_call(xp, _wmat(w, i_pad), kh=kh, kw=kw,
+                     h_out=h_run, w_out=w_run)
+    if pad_r or w_run != w_out:
+        out = out[:, :h_out, :w_out]
+    return out
+
+
+def _fwd(xp, w, kdims):
+    return conv_valid_cf(xp, w, kdims), (xp, w)
+
+
+def _bwd(kdims, res, g):
+    xp, w = res
+    kh, kw = kdims
+    # dx: full correlation = valid conv of the zero-padded cotangent with the
+    # flipped, in/out-transposed kernel — the same pallas kernel.
+    gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1)))
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))   # (kh,kw,O,I)
+    dx = conv_valid_cf(gp.astype(xp.dtype), w_flip.astype(xp.dtype), kdims)
+    # dw: one multi-dim dot per tap (contracting H, W) — plain XLA dots,
+    # which carry none of the conv ops' layout preferences.
+    h_out, w_out = g.shape[1], g.shape[2]
+    taps = []
+    for ky in range(kh):
+        row = []
+        for kx in range(kw):
+            xs = jax.lax.slice(
+                xp, (0, ky, kx),
+                (xp.shape[0], ky + h_out, kx + w_out))
+            row.append(jax.lax.dot_general(
+                xs, g, dimension_numbers=(((1, 2), (1, 2)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST))   # (I, O)
+        taps.append(row)
+    dw = jnp.stack([jnp.stack(r) for r in taps]).astype(w.dtype)
+    return dx, dw
+
+
+conv_valid_cf.defvjp(_fwd, _bwd)
+
+
+def conv2d_cf_pallas(x: jnp.ndarray, w: jnp.ndarray,
+                     b: jnp.ndarray | None = None, stride: int = 1,
+                     padding: int = 0, pad_mode: str = "zero") -> jnp.ndarray:
+    """Drop-in NCHW conv (batch 1) on the pallas valid kernel.
+
+    x: (1, I, H, W); w: (kh, kw, I, O) HWIO (shared pytree layout);
+    returns (1, O, H_out, W_out) with torch cross-correlation semantics.
+    Falls back to the XLA NCHW conv for unsupported shapes."""
+    from ...nn import cf as cf_layers
+
+    kh = w.shape[0]
+    xs = x[0]
+    if padding:
+        mode = "reflect" if pad_mode == "reflection" else "constant"
+        xs = jnp.pad(xs, ((0, 0), (padding, padding), (padding, padding)),
+                     mode=mode)
+    if not supported(xs, w, stride):
+        xin = xs[None]
+        out = cf_layers.conv2d(xin, w, None, stride, 0)
+    else:
+        out = conv_valid_cf(xs, w, (kh, kh))[None]
+        if stride == 2:
+            out = out[:, :, ::2, ::2]
+    if b is not None:
+        out = out + b[None, :, None, None]
+    return out

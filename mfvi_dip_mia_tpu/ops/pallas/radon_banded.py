@@ -350,7 +350,20 @@ _banded_matvec.defvjp(_banded_vjp_fwd, _banded_vjp_bwd)
 
 def radon_apply_banded(image_nhwc: jnp.ndarray,
                        state: BandedRadonState) -> jnp.ndarray:
-    """NHWC image -> (B, T, W, C) sinogram via the block-banded kernel."""
+    """NHWC image -> (B, T, W, C) sinogram via the block-banded kernel.
+
+    NOTE (round-3 finding, measured via HLO estimated_cycles): the mere
+    PRESENCE of a tpu_custom_call in a module flips XLA's layout-assignment
+    heuristics into a mode that lays small-channel NHWC conv activations out
+    channels-on-lanes ({3,0,2,1:T(1,128)}-family, 8x lane padding) instead of
+    the spatial-on-lanes {1,3,2,0:T(8,128)} the same program gets without the
+    call — inflating the U-Net's elementwise/reduce ops ~3-4x. This is NOT
+    fixable at the kernel interface (padding operands to 8 sublanes and
+    inserting identity-copy 'layout anchor' kernels were both tried and
+    change nothing; a trivial identity pallas call injected into the clean
+    denoising program reproduces the flip). The durable fix is the
+    channels-first compute path (nn/cf.py) whose hot tensors are (C, H, W)
+    row-major — dense in either heuristic mode."""
     b, h, w, c = image_nhwc.shape
     assert w == state.w, (w, state.w)
     gside = w // PATCH

@@ -84,7 +84,13 @@ def test_jit_and_grad_flow():
     g = jax.grad(loss_fn)(params)
     norms = [float(jnp.sum(jnp.abs(leaf))) for leaf in jax.tree.leaves(g)]
     assert all(np.isfinite(n) for n in norms)
-    assert sum(n > 0 for n in norms) > len(norms) * 0.9
+    # pre-BN conv biases have EXACTLY zero grad (the skip_bias identity —
+    # torch computes the same values as ~1e-10 roundoff); every weight/BN
+    # leaf must still receive signal. Count non-bias leaves.
+    flat = jax.tree.flatten_with_path(g)[0]
+    non_bias = [float(jnp.sum(jnp.abs(leaf))) for path, leaf in flat
+                if not (str(path[-1]) == "['b']" and "'out'" not in str(path))]
+    assert sum(n > 0 for n in non_bias) > len(non_bias) * 0.9
 
 
 def test_mfvi_forward_stochastic():
