@@ -26,11 +26,13 @@ import sys
 REFERENCE_ITERS_PER_SEC = 20.0  # legacy fallback when no measured file
 
 
-def baseline_iters_per_sec(metric: str) -> float:
+def baseline_iters_per_sec(metric: str) -> tuple[float, str]:
     """Derived reference throughput from BASELINE_MEASURED.json (written by
     scripts/measure_baseline.py: measured torch-CPU rate + a FLOP-derived,
     reference-favoring V100-class estimate). Falls back to the documented
-    20 it/s assumption when the file is absent."""
+    20 it/s assumption when the file is absent. Returns (rate, source) so the
+    bench line records which baseline produced vs_baseline (the two differ
+    ~7x for denoising — ADVICE r2)."""
     import os
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BASELINE_MEASURED.json")
@@ -38,9 +40,9 @@ def baseline_iters_per_sec(metric: str) -> float:
            "ct": "ct_ref_gpu_iters_per_sec"}.get(metric)
     try:
         with open(path) as f:
-            return float(json.load(f)[key])
+            return float(json.load(f)[key]), "measured_v100_estimate"
     except (OSError, KeyError, TypeError, ValueError):
-        return REFERENCE_ITERS_PER_SEC
+        return REFERENCE_ITERS_PER_SEC, "legacy_constant"
 
 
 def main(argv=None):
@@ -59,6 +61,15 @@ def main(argv=None):
     parser.add_argument("--metrics-every", type=int, default=None,
                         help="metric-triple cadence (default: 1 for train, "
                              "10 for ct — the BO sweep setting)")
+    parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                        help="compute dtype for the fit (default: the "
+                             "trainer default)")
+    parser.add_argument("--chunk", type=int, default=None,
+                        help="scan chunk length (chunk_iters); default "
+                             "show_every")
+    parser.add_argument("--layout", choices=["nhwc", "auto"], default=None,
+                        help="U-Net compute layout ('auto' = channels-first "
+                             "high-res levels)")
     args = parser.parse_args(argv)
 
     import jax
@@ -80,10 +91,19 @@ def main(argv=None):
 
     num_iter = args.iters or (100 if args.quick else 600)
     show_every = 100
+    import jax.numpy as jnp
+    fit_kwargs = {}
+    if args.dtype == "bf16":
+        fit_kwargs["compute_dtype"] = jnp.bfloat16
+    if args.layout:
+        fit_kwargs["layout"] = args.layout
+    chunk = args.chunk or show_every
+    if args.chunk:
+        fit_kwargs["chunk_iters"] = args.chunk
     # align num_iter+1 (the trainer's ref-parity +1) to whole chunks: a
     # partial final chunk still EXECUTES its masked iterations, which would
     # silently deflate the measured it/s by up to chunk_size/num_iter
-    num_iter = -(-(num_iter + 1) // show_every) * show_every - 1
+    num_iter = -(-(num_iter + 1) // chunk) * chunk - 1
 
     if args.metric == "ct":
         # the BO north-star workload: CT MFVI, 45-angle Radon in the loop,
@@ -92,13 +112,15 @@ def main(argv=None):
         method = Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7)
         res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
                   show_every=show_every, collect_snapshots=False,
-                  metrics_every=args.metrics_every or 10)
+                  metrics_every=args.metrics_every or 10, **fit_kwargs)
         value = float(res.iters_per_sec)
+        base, base_src = baseline_iters_per_sec("ct")
         print(json.dumps({
             "metric": f"mfvi_ct_iters_per_sec_{size}x{size}_45ang",
             "value": round(value, 2),
             "unit": "iters/sec",
-            "vs_baseline": round(value / baseline_iters_per_sec("ct"), 3),
+            "vs_baseline": round(value / base, 3),
+            "baseline_source": base_src,
         }))
         print(f"# devices={jax.devices()} compile={res.compile_seconds:.1f}s "
               f"final_psnr={res.final_psnr:.2f}", file=sys.stderr)
@@ -148,14 +170,16 @@ def main(argv=None):
         return
 
     res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
-              show_every=show_every, collect_snapshots=False)
+              show_every=show_every, collect_snapshots=False, **fit_kwargs)
 
     value = float(res.iters_per_sec)
+    base, base_src = baseline_iters_per_sec("train")
     print(json.dumps({
         "metric": f"mfvi_dip_iters_per_sec_{size}x{size}_denoising",
         "value": round(value, 2),
         "unit": "iters/sec",
-        "vs_baseline": round(value / baseline_iters_per_sec("train"), 3),
+        "vs_baseline": round(value / base, 3),
+        "baseline_source": base_src,
     }))
     print(f"# devices={jax.devices()} compile={res.compile_seconds:.1f}s "
           f"final_psnr={res.final_psnr:.2f}", file=sys.stderr)

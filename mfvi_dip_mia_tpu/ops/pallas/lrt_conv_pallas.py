@@ -51,6 +51,10 @@ def supported(x, w_mu, stride: int, padding: int) -> bool:
     """Static shape gate; callers fall back to the XLA path when False."""
     if stride != 1 or w_mu.ndim != 4:
         return False
+    if x.shape[0] != 1:
+        # the kernel DMAs batch 0 only (x_hbm.at[0, ...]) and pins its output
+        # batch block to 0 — other batches would be silently unwritten
+        return False
     kh, kw, _, _ = w_mu.shape
     if kh != kw or kh not in (1, 3):
         return False

@@ -163,7 +163,7 @@ def _tree_select(pred, a, b):
 def make_step_fn(problem: Problem, method_name: str, optimizer,
                  hp: HyperParams, base_key, z_saved, num_iter, show_every,
                  reparam: str = "rt", metrics_every=1,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, layout: str = "nhwc"):
     """Build the per-iteration step closure (pure; scanned under jit).
 
     Iterations >= num_iter are masked no-ops (state passes through) so the
@@ -204,7 +204,8 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
                 p_c, x_c = p, x
             out = net.apply(p_c, x_c, key=k_net, training=True,
                             reparam=reparam,
-                            dropout_p=hp.dropout_p if is_mcd else None)
+                            dropout_p=hp.dropout_p if is_mcd else None,
+                            layout=layout)
             out = out.astype(jnp.float32)
             loss = problem.data_loss(out)
             if is_mfvi:
@@ -293,7 +294,7 @@ _RUN_CHUNK_CACHE = weakref.WeakKeyDictionary()
 
 
 def _get_run_chunk(problem: Problem, method_name: str, optimizer,
-                   reparam: str, compute_dtype=None):
+                   reparam: str, compute_dtype=None, layout: str = "nhwc"):
     import jax.numpy as _jnp
     compute_dtype = compute_dtype or _jnp.float32
     """One compiled chunk runner per (net, task, method, reparam): data
@@ -302,6 +303,7 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     single XLA executable."""
     per_net = _RUN_CHUNK_CACHE.setdefault(problem.net, {})
     cache_key = (problem.task, method_name, reparam, str(compute_dtype),
+                 layout,
                  problem.gt.shape, problem.target.shape,
                  None if problem.mask is None else problem.mask.shape,
                  # op_state may be any pytree (dense matrix, banded blocks...)
@@ -317,7 +319,7 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
             op_state=data["op_state"])
         step = make_step_fn(bound, method_name, optimizer, hp, data["key"],
                             data["z"], n_iter, show_ev, reparam,
-                            data["metrics_every"], compute_dtype)
+                            data["metrics_every"], compute_dtype, layout)
         return jax.lax.scan(step, state, its)
 
     per_net[cache_key] = run_chunk
@@ -378,36 +380,14 @@ def load_fit_checkpoint(path: str, state_template: TrainState):
     return state, int(z["chunk"]), metrics
 
 
-def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
-        seed: int = 42, show_every: int = 100,
-        log_fn: Optional[Callable] = None,
-        snapshot_fn: Optional[Callable] = None,
-        rng: np.random.Generator | None = None,
-        reparam: str = "rt", device=None, metrics_every: int = 1,
-        compute_dtype=jnp.float32,
-        checkpoint_path: Optional[str] = None,
-        checkpoint_every_chunks: int = 100,
-        resume: bool = False,
-        collect_snapshots: bool = True,
-        chunk_iters: Optional[int] = None) -> FitResult:
-    """Run one full DIP fit. Returns per-iteration metric traces + snapshot
-    stacks with the reference's shapes and the final smoothed-recon PSNR
-    as ``final_psnr`` (the BO objective).
-
-    ``log_fn(i, metrics_row)`` and ``snapshot_fn(i, recon, epi, ale)`` fire at
-    every ``show_every`` boundary (host-side).
-
-    ``chunk_iters`` sets the scanned chunk length independently of
-    ``show_every`` (default: equal). Longer chunks amortize per-dispatch
-    overhead — +13% measured on the CT fit at 500 vs 100 — at the cost of
-    coarser host-side logging; snapshot collection requires chunk
-    boundaries to land on ``show_every`` boundaries.
-    """
+def prepare_fit(problem: Problem, method: Method, *, lr: float,
+                seed: int = 42, rng: np.random.Generator | None = None,
+                metrics_every: int = 1, device=None, warm_transfer=True):
+    """The exact initialization ``fit`` performs, factored out so the SPMD
+    candidate sweep (parallel/sharding.py) can build bit-identical
+    per-candidate states. Returns (state, hp, data, z_np, optimizer)."""
     from ..utils import images as I
 
-    _enable_persistent_compile_cache()
-
-    num_iter = num_iter + 1  # ref :306
     h, w = problem.imsize
     mc = problem.mean_ch
 
@@ -427,10 +407,11 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     init_fn = _get_init_fn(problem, method.name, optimizer,
                            problem.init_normal_std)
     params, opt_state = init_fn(k_init, k_mfvi, k_reinit)
-    # warm the device->host transfer path (first transfer through a remote
-    # TPU tunnel can pay a one-time multi-second setup; keep it out of the
-    # per-chunk accounting)
-    np.asarray(jax.tree.leaves(params)[0]).ravel()[:1]
+    if warm_transfer:
+        # warm the device->host transfer path (first transfer through a
+        # remote TPU tunnel can pay a one-time multi-second setup; keep it
+        # out of the per-chunk accounting)
+        np.asarray(jax.tree.leaves(params)[0]).ravel()[:1]
 
     n_out = {"ct": 1, "den": 2, "sr": 2, "inp": 4}[problem.task]
 
@@ -452,9 +433,56 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
             "mask": problem.mask, "key": k_train,
             "op_state": problem.op_state,
             "metrics_every": jnp.asarray(metrics_every, jnp.int32)}
+    return state, hp, data, z_np, optimizer
+
+
+def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
+        seed: int = 42, show_every: int = 100,
+        log_fn: Optional[Callable] = None,
+        snapshot_fn: Optional[Callable] = None,
+        rng: np.random.Generator | None = None,
+        reparam: str = "rt", device=None, metrics_every: int = 1,
+        compute_dtype=jnp.float32, layout: str = "nhwc",
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every_chunks: int = 100,
+        resume: bool = False,
+        collect_snapshots: bool = True,
+        chunk_iters: Optional[int] = None,
+        shardings: Optional[dict] = None) -> FitResult:
+    """Run one full DIP fit. Returns per-iteration metric traces + snapshot
+    stacks with the reference's shapes and the final smoothed-recon PSNR
+    as ``final_psnr`` (the BO objective).
+
+    ``log_fn(i, metrics_row)`` and ``snapshot_fn(i, recon, epi, ale)`` fire at
+    every ``show_every`` boundary (host-side).
+
+    ``chunk_iters`` sets the scanned chunk length independently of
+    ``show_every`` (default: equal). Longer chunks amortize per-dispatch
+    overhead — +13% measured on the CT fit at 500 vs 100 — at the cost of
+    coarser host-side logging; snapshot collection requires chunk
+    boundaries to land on ``show_every`` boundaries.
+    """
+    _enable_persistent_compile_cache()
+
+    num_iter = num_iter + 1  # ref :306
+    h, w = problem.imsize
+    mc = problem.mean_ch
+    n_out = {"ct": 1, "den": 2, "sr": 2, "inp": 4}[problem.task]
+
+    state, hp, data, z_np, optimizer = prepare_fit(
+        problem, method, lr=lr, seed=seed, rng=rng,
+        metrics_every=metrics_every, device=device)
+    if shardings is not None:
+        # spatial ('sp') model parallelism: committed input shardings steer
+        # GSPMD's partitioning of the jit'd chunk (parallel/sharding.py::
+        # sp_shardings builds the tree; fit_sp is the entry point)
+        state = jax.device_put(state, shardings["state"])
+        data = {k: (jax.device_put(v, shardings["data"][k])
+                    if v is not None else None)
+                for k, v in data.items()}
 
     run_chunk = _get_run_chunk(problem, method.name, optimizer, reparam,
-                               compute_dtype)
+                               compute_dtype, layout)
 
     n_snaps = num_iter // show_every + 1
     mse_c = np.zeros(num_iter)
@@ -466,9 +494,16 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     unc_ale = np.zeros((n_snaps, mc, h, w), np.float32)
 
     chunk = chunk_iters or show_every
-    assert not collect_snapshots or chunk % show_every == 0 or chunk == show_every, (
-        "chunk_iters must be a multiple of show_every when snapshots are "
-        "collected (snapshot reads happen at chunk boundaries)")
+    if collect_snapshots and chunk != show_every:
+        # with chunk > show_every the device snap buffers would hold only the
+        # LAST in-chunk boundary snapshot — intermediate indices of the
+        # snapshot stacks would silently stay zero and the stored map would
+        # be attributed to the wrong iteration. Sweeps that want long chunks
+        # run with collect_snapshots=False.
+        raise ValueError(
+            "chunk_iters must equal show_every when snapshots are collected; "
+            "pass collect_snapshots=False (or plot=False, save=False via the "
+            "runners) to use longer chunks")
     n_chunks = -(-num_iter // chunk)  # fixed-length chunks (one compile)
 
     start_chunk = 0

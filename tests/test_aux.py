@@ -239,8 +239,11 @@ def test_bench_baseline_prefers_measured_file():
     spec.loader.exec_module(bench)
     import json
     measured = json.loads((root / "BASELINE_MEASURED.json").read_text())
-    assert bench.baseline_iters_per_sec("train") == pytest.approx(
-        measured["den_ref_gpu_iters_per_sec"])
-    assert bench.baseline_iters_per_sec("ct") == pytest.approx(
-        measured["ct_ref_gpu_iters_per_sec"])
-    assert bench.baseline_iters_per_sec("mc") == bench.REFERENCE_ITERS_PER_SEC
+    rate, src = bench.baseline_iters_per_sec("train")
+    assert rate == pytest.approx(measured["den_ref_gpu_iters_per_sec"])
+    assert src == "measured_v100_estimate"
+    rate, src = bench.baseline_iters_per_sec("ct")
+    assert rate == pytest.approx(measured["ct_ref_gpu_iters_per_sec"])
+    rate, src = bench.baseline_iters_per_sec("mc")
+    assert rate == bench.REFERENCE_ITERS_PER_SEC
+    assert src == "legacy_constant"
