@@ -74,8 +74,13 @@ def evaluate_candidates(task, bayes, bo_params, run_params, runner=None):
 
 def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
        n_rounds: int = 20, acq_fn: str = "ei", plot: bool = True,
-       resume: bool = False, runner=None, gp_iters: int = 2000):
-    """Run the full BO sweep. Returns (X, Y) of all observations."""
+       resume: bool = False, runner=None, gp_iters: int = 2000,
+       use_spmd: bool = False):
+    """Run the full BO sweep. Returns (X, Y) of all observations.
+
+    ``use_spmd=True`` evaluates each round's candidates as one SPMD program
+    sharded over a 'cand' mesh axis (parallel/sharding.py::run_sweep_spmd)
+    instead of thread-per-candidate dispatch."""
     task = TASK_ALIASES[task]
     run_params = dict(run_params)
     bo_out_path = run_params.pop("bo_results_path")
@@ -103,7 +108,8 @@ def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
     names = list(bo_params.keys())
     for runs_num in range(start_round, n_rounds):
         kept_c, kept_y = run_candidates(task, bayes, candidates, run_params,
-                                        devices, runner=runner)
+                                        devices, runner=runner,
+                                        use_spmd=use_spmd)
         print()
         print(f"{names[0]}      {names[1]}       psnr")
         for c, y in zip(kept_c, kept_y):

@@ -45,15 +45,67 @@ def candidate_kwargs(bayes: str, candidate) -> dict:
     return {name: float(candidate[i]) for i, name in enumerate(axes)}
 
 
+def run_candidates_spmd(task: str, bayes: str, candidates: Sequence,
+                        run_params: dict):
+    """SPMD alternative to the thread fanout: all candidates advance as ONE
+    jit'd program sharded over a 'cand' mesh axis (parallel/sharding.py::
+    run_sweep_spmd, which executes the exact production trainer step per
+    slice). Returns (kept_candidates, kept_scores) with NaN candidates
+    dropped, like ``run_candidates``."""
+    from ..parallel.sharding import run_sweep_spmd
+    from ..tasks.problems import build_problem
+    from ..tasks.runners import method_for
+    from ..tasks.trainer import Method  # noqa: F401  (re-export convenience)
+
+    task = TASK_ALIASES[task]
+    rp = dict(run_params)
+    rp.pop("bo_results_path", None)
+    img = rp.pop("img", 0)
+    lr = rp.pop("lr", 3e-4)
+    num_iter = rp.pop("num_iter", 5000)
+    seed = rp.pop("seed", 42)
+    build_kw = {}
+    if "p_sigma" in rp:
+        build_kw["p_sigma"] = rp.pop("p_sigma")
+    if "input_depth" in rp:
+        build_kw["input_depth"] = rp.pop("input_depth")
+    sweep_kw = {k: rp.pop(k) for k in ("show_every", "metrics_every",
+                                       "chunk_iters", "compute_dtype",
+                                       "layout", "reparam", "mesh")
+                if k in rp}
+
+    methods = [method_for(task, bayes, candidate_kwargs(bayes, c))
+               for c in candidates]
+    problem = build_problem(task, bayes, img, **build_kw)
+    finals, _ = run_sweep_spmd(problem, methods, lr=lr, num_iter=num_iter,
+                               seed=seed, **sweep_kw)
+
+    kept_c, kept_y = [], []
+    for cand, y in zip(candidates, finals):
+        if np.isfinite(y):
+            kept_c.append(tuple(np.asarray(cand, np.float64)))
+            kept_y.append(float(y))
+        else:
+            print(f"[fanout/spmd] candidate {cand} diverged (NaN); dropped",
+                  flush=True)
+    return kept_c, kept_y
+
+
 def run_candidates(task: str, bayes: str, candidates: Sequence,
-                   run_params: dict, devices=None, runner=None):
+                   run_params: dict, devices=None, runner=None,
+                   use_spmd: bool = False):
     """Evaluate every candidate concurrently; returns
     (kept_candidates, kept_scores) with NaN/crashed candidates dropped.
 
     ``devices``: list of jax.Device / "tpu:0"-style strings / None for all
-    local devices. ``runner`` overrides the runner callable (tests)."""
+    local devices. ``runner`` overrides the runner callable (tests).
+    ``use_spmd=True`` routes through the single-program sharded sweep
+    instead of thread-per-candidate dispatch."""
     import jax
     from ..tasks.runners import run_task, resolve_device
+
+    if use_spmd and runner is None:
+        return run_candidates_spmd(task, bayes, candidates, run_params)
 
     task = TASK_ALIASES[task]
     if runner is None:

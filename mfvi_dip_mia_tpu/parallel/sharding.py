@@ -12,8 +12,19 @@ this workload are:
     batch-size-1 workload): the ELBO is averaged over S stochastic forwards;
     sharding S across ``mc`` makes XLA insert one psum for the gradient
     reduction (this is the only collective the workload needs — it rides ICI).
-  * ``sp``   — optional spatial partitioning of the image height for large
-    images: convolutions under GSPMD get automatic halo exchanges.
+  * ``sp``   — spatial partitioning of the image height for large images
+    (``fit_sp``/``sp_shardings``): convolutions under GSPMD get automatic
+    halo exchanges, BN/loss reductions psum across the axis.
+
+Production paths:
+  * ``run_sweep_spmd`` / ``build_spmd_chunk`` — candidate-parallel BO sweep
+    running the EXACT trainer step per mesh slice (scan chunks, metric
+    triples, rings); equivalence vs trainer.fit pinned in tests.
+  * ``fit_sp`` — model-parallel single fit over the ``sp`` axis.
+  * ``build_sharded_sweep_step`` — the cand x mc ELBO-averaging variant
+    (averaging S stochastic forwards per step is a DELIBERATE deviation from
+    the reference's single-sample step; kept as a library-facing option, not
+    used by ``bo``).
 
 TP/PP/EP are not applicable (2M-param CNN, no layer pipeline, no experts) —
 recorded deliberately, per the reference survey.
@@ -35,12 +46,14 @@ from ..bayes import vi
 def make_mesh(n_devices: int | None = None, shape=None,
               names=("cand", "mc")) -> Mesh:
     """Build a device mesh. Default factorization splits devices between the
-    candidate and MC axes (candidate-major)."""
+    candidate and MC axes (candidate-major); 1-axis meshes take all devices."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = np.array(devs[:n])
     if shape is None:
-        if len(names) == 2:
+        if len(names) == 1:
+            shape = (n,)
+        elif len(names) == 2:
             c = 1
             for d in range(int(np.sqrt(n)), 0, -1):
                 if n % d == 0:
@@ -152,6 +165,216 @@ def build_sharded_sweep_step(problem, method_name: str, n_samples: int,
                  "z": NamedSharding(mesh, P()),
                  "repl": NamedSharding(mesh, P())}
     return step, shardings
+
+
+# ---------------------------------------------------------------------------
+# Spatial ('sp') sharding of a single fit: shard image height across devices
+# ---------------------------------------------------------------------------
+
+def sp_shardings(mesh: Mesh, problem, state):
+    """Per-leaf shardings that split every image-sized tensor's HEIGHT across
+    the mesh's ``sp`` axis while replicating parameters/optimizer state.
+
+    Under jit, GSPMD then partitions the U-Net spatially: convolutions get
+    automatic halo exchanges on the row boundaries, BatchNorm statistics and
+    loss reductions become partial sums + psum — the collectives ride ICI.
+    Parameters are replicated (2M-param CNN: gradient psum is the only
+    param-side collective). The flat ring/snapshot carries split cleanly
+    because their pixel order is H-major (rows are contiguous).
+
+    This is the model-parallel escape hatch for fields of view where a
+    single chip's fit rate drops (512^2: 30.4 it/s single-chip, ROADMAP) —
+    candidate parallelism stays the primary axis for BO sweeps.
+    """
+    def spec(p):
+        return NamedSharding(mesh, p)
+
+    h, w = problem.imsize
+    repl = spec(P())
+
+    def img_like(x):
+        # (1, H, W, C) -> shard dim 1; flat (H*W*C,) -> shard dim 0;
+        # (25, H*W*C) rings -> shard dim 1; anything else replicated
+        if not hasattr(x, "shape"):
+            return repl
+        if x.ndim == 4 and x.shape[1] == h:
+            return spec(P(None, "sp"))
+        if x.ndim == 2 and x.shape[1] % h == 0 and x.shape[0] == 25:
+            return spec(P(None, "sp"))
+        if x.ndim == 1 and x.shape[0] % h == 0 and x.shape[0] >= h * w:
+            return spec(P("sp"))
+        return repl
+
+    state_sh = type(state)(
+        params=jax.tree.map(lambda _: repl, state.params),
+        opt_state=jax.tree.map(lambda _: repl, state.opt_state),
+        out_avg=img_like(state.out_avg),
+        ring_epi=img_like(state.ring_epi),
+        ring_ale=img_like(state.ring_ale),
+        snap_avg=img_like(state.snap_avg),
+        snap_epi=img_like(state.snap_epi),
+        snap_ale=img_like(state.snap_ale),
+    )
+    data_sh = {"z": img_like(jnp.zeros((1, h, w, 1))),
+               "gt": img_like(problem.gt),
+               "target": repl,   # sinogram / low-res target: replicated
+               "mask": (img_like(problem.mask)
+                        if problem.mask is not None else repl),
+               "key": repl,
+               "op_state": jax.tree.map(lambda _: repl, problem.op_state)
+               if problem.op_state is not None else repl,
+               "metrics_every": repl}
+    if problem.task in ("den", "inp"):
+        data_sh["target"] = img_like(problem.target)
+    return {"state": state_sh, "data": data_sh}
+
+
+def fit_sp(problem, method, *, mesh: Mesh, num_iter: int, lr: float,
+           **fit_kwargs):
+    """Run one spatially-sharded fit: trainer.fit with every image-sized
+    tensor height-split over the mesh's ``sp`` axis (see sp_shardings).
+    Numerically equivalent to the unsharded fit up to float reduction order
+    (tests/test_sharding.py::test_sp_fit_matches_unsharded)."""
+    from ..tasks import trainer as T
+
+    state, hp, data, _, _ = T.prepare_fit(
+        problem, method, lr=lr,
+        seed=fit_kwargs.get("seed", 42),
+        metrics_every=fit_kwargs.get("metrics_every", 1),
+        warm_transfer=False)
+    sh_tree = sp_shardings(mesh, problem, state)
+    return T.fit(problem, method, num_iter=num_iter, lr=lr,
+                 shardings=sh_tree, **fit_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Production candidate-parallel sweep: the EXACT trainer step, SPMD over 'cand'
+# ---------------------------------------------------------------------------
+
+def build_spmd_chunk(problem, method_name: str, mesh: Mesh, *,
+                     reparam: str = "rt", compute_dtype=None,
+                     layout: str = "nhwc"):
+    """Candidate-parallel chunk runner: C independent fits advance one scan
+    chunk per call as ONE SPMD program over the mesh's ``cand`` axis.
+
+    Unlike ``build_sharded_sweep_step`` (the mc-averaged ELBO demo step),
+    every mesh slice executes the EXACT production step closure
+    (tasks/trainer.py::make_step_fn) — same PRNG stream, same metric triples,
+    same rings/snapshots/NaN guard — so each candidate's trajectory is
+    numerically identical to a ``trainer.fit`` run of that candidate on one
+    device (pinned by tests/test_sharding.py::test_spmd_sweep_matches_fit).
+
+    Signature of the returned jit'd function:
+        run(state_stack, hp_stack, its, n_iter, show_ev, data)
+            -> (state_stack, metrics)           # metrics: (C, chunk, 8)
+    where every ``state_stack``/``hp_stack`` leaf has leading axis C
+    (sharded over 'cand') and ``data`` is the trainer's (replicated) data
+    dict. C > mesh size runs multiple candidates sequentially per slice via
+    lax.map — the two-fits-per-chip mode.
+
+    Reference analog: process-per-GPU candidate fanout
+    (/root/reference/bayesian_optimization.py:3756-3768), reimagined as a
+    single SPMD program.
+    """
+    import dataclasses
+
+    from ..tasks import trainer as T
+
+    compute_dtype = compute_dtype or jnp.float32
+    optimizer = T._build_optimizer(T.Method(name=method_name), 1e-3)
+
+    def one(state, hp, its, n_iter, show_ev, data):
+        bound = dataclasses.replace(
+            problem, gt=data["gt"], target=data["target"], mask=data["mask"],
+            op_state=data["op_state"])
+        step = T.make_step_fn(bound, method_name, optimizer, hp, data["key"],
+                              data["z"], n_iter, show_ev, reparam,
+                              data["metrics_every"], compute_dtype, layout)
+        return jax.lax.scan(step, state, its)
+
+    def local_chunk(state_stack, hp_stack, its, n_iter, show_ev, data):
+        c_local = jax.tree.leaves(hp_stack)[0].shape[0]
+        if c_local == 1:
+            # the production shape (one candidate per slice): run unbatched —
+            # no vmapped-weight convs (grouped-conv penalty), no lax.map
+            state, rows = one(jax.tree.map(lambda x: x[0], state_stack),
+                              jax.tree.map(lambda x: x[0], hp_stack),
+                              its, n_iter, show_ev, data)
+            return (jax.tree.map(lambda x: x[None], state),
+                    rows[None])
+        return jax.lax.map(
+            lambda sh: one(sh[0], sh[1], its, n_iter, show_ev, data),
+            (state_stack, hp_stack))
+
+    cand = P("cand")
+    sharded = jax.shard_map(
+        local_chunk, mesh=mesh,
+        in_specs=(cand, cand, P(), P(), P(), P()),
+        out_specs=(cand, cand),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def run_sweep_spmd(problem, methods, *, lr: float, num_iter: int,
+                   seed: int = 42, show_every: int = 100,
+                   metrics_every: int = 1, chunk_iters=None,
+                   mesh: Mesh | None = None, reparam: str = "rt",
+                   compute_dtype=None, layout: str = "nhwc"):
+    """Run len(methods) candidate fits as one SPMD program.
+
+    Returns (final_psnrs: list[float], psnrs: (C, N, 3) np.ndarray) with the
+    same final-smoothed-PSNR objective values ``trainer.fit`` would produce
+    for each candidate (NaN for diverged candidates — the BO loop's existing
+    filter drops them).
+    """
+    from ..tasks import trainer as T
+
+    T._enable_persistent_compile_cache()
+    n_cand = len(methods)
+    num_iter = num_iter + 1  # ref :306 (fit applies the same +1)
+
+    states, hps = [], []
+    data = None
+    for m in methods:
+        state, hp, data, _, _ = T.prepare_fit(
+            problem, m, lr=lr, seed=seed, metrics_every=metrics_every,
+            warm_transfer=False)
+        states.append(state)
+        hps.append(hp)
+    state_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    hp_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *hps)
+
+    if mesh is None:
+        n_dev = len(jax.devices())
+        mesh = make_mesh(min(n_dev, n_cand), names=("cand",))
+    run = build_spmd_chunk(problem, methods[0].name, mesh, reparam=reparam,
+                           compute_dtype=compute_dtype, layout=layout)
+
+    cand_sh = NamedSharding(mesh, P("cand"))
+    repl_sh = NamedSharding(mesh, P())
+    state_stack = jax.device_put(state_stack, cand_sh)
+    hp_stack = jax.device_put(hp_stack, cand_sh)
+    data = jax.device_put(data, repl_sh)
+
+    chunk = chunk_iters or show_every
+    n_chunks = -(-num_iter // chunk)
+    psnrs = np.zeros((n_cand, num_iter, 3))
+    n_it = jnp.asarray(num_iter, jnp.int32)
+    sh_ev = jnp.asarray(show_every, jnp.int32)
+    for s in range(n_chunks):
+        its = jnp.arange(s * chunk, (s + 1) * chunk, dtype=jnp.int32)
+        state_stack, rows = run(state_stack, hp_stack, its, n_it, sh_ev, data)
+        rows = np.asarray(rows)            # (C, chunk, 8)
+        end = min((s + 1) * chunk, num_iter)
+        n = end - s * chunk
+        psnrs[:, s * chunk:end] = rows[:, :n, 2:5]
+
+    finals = []
+    for c in range(n_cand):
+        valid = np.where(np.isfinite(psnrs[c, :, 2]))[0]
+        finals.append(float(psnrs[c, valid[-1], 2]) if len(valid)
+                      else float("nan"))
+    return finals, psnrs
 
 
 def init_sweep_state(problem, method_name: str, n_candidates: int,

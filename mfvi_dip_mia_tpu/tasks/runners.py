@@ -41,6 +41,18 @@ def resolve_device(device):
     raise ValueError(f"cannot resolve device {device!r}")
 
 
+def method_for(task: str, method_name: str, overrides: dict) -> Method:
+    """Build the Method a ``run_task`` call with these kwargs would use,
+    including the audited weight-decay quirks (CT mcd/sgld zero it, :715/:926;
+    dip/mfvi runners hardcode 0)."""
+    kw = dict(temp=4e-6, sigma=0.01, dropout_p=0.3, weight_decay=3e-4,
+              gamma=0.9999)
+    kw.update(overrides)
+    if task == "ct" or method_name in ("dip", "mfvi"):
+        kw["weight_decay"] = 0.0
+    return Method(name=method_name, **kw)
+
+
 def _npz_payload(task, problem, res, method_name):
     """save.npz with the reference's per-task key schema (:1437-1440, :433-435,
     :2039-2041, :3107-3110)."""
