@@ -115,5 +115,12 @@ def find_candidates(gp, x_grid, x_train, acq_fn: str = "ei",
             candidates.append(x_star)
             eis.append(ei)
 
-        candidates = np.unique(np.stack(candidates), axis=0)
+        # Post-refinement dedup: when several acq peaks L-BFGS-converge to the
+        # same optimum we evaluate it once (the reference re-evaluates
+        # duplicates, bayesian_optimization.py:3666-3684 — documented
+        # deviation, PARITY.md). np.unique sorts AND drops rows, so the ei
+        # list must be re-indexed to stay aligned with its candidate.
+        candidates, keep = np.unique(np.stack(candidates), axis=0,
+                                     return_index=True)
+        eis = [eis[i] for i in keep]
         return candidates, eis, acq

@@ -69,6 +69,45 @@ def test_bo_converges_on_analytic_objective(tmp_path):
     assert z["pred"].shape == (100, 100)
 
 
+def test_bo_round_with_figures(tmp_path):
+    """plot=True exercises the 4 diagnostic figures — in particular fig4,
+    which plots candidates against their expected improvements and raises on
+    a length mismatch (the r2 eis/candidates misalignment bug)."""
+    run_params = {"bo_results_path": str(tmp_path), "devices": None}
+    bo("denoising", "mfvi", BO_PARAMS, run_params, n_rounds=1,
+       plot=True, runner=mock_runner, gp_iters=150)
+    for fig in ("fig1", "fig2", "fig3", "fig4"):
+        assert glob.glob(str(tmp_path / f"0_{fig}.pdf")), fig
+
+
+def test_find_candidates_eis_aligned_after_dedup():
+    """When several acquisition peaks L-BFGS-converge to one optimum, the
+    deduped candidate list and the ei list must stay the same length and
+    aligned (np.unique also SORTS — r2 returned pre-dedup eis)."""
+    from mfvi_dip_mia_tpu.bo.acquisition import (acquisition_fun,
+                                                 find_candidates)
+    from mfvi_dip_mia_tpu.bo.gp import train_gp
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    # one clear smooth peak -> all refined starts collapse onto it
+    x = rng.random((25, 2))
+    y = 30.0 - 8.0 * ((x[:, 0] - 0.55) ** 2 + (x[:, 1] - 0.45) ** 2)
+    gp = train_gp(x, y, iter_max=400)
+    g = np.stack(np.meshgrid(np.linspace(0, 1, 100),
+                             np.linspace(0, 1, 100),
+                             indexing="ij"), -1).reshape(-1, 2)
+    cands, eis, acq = find_candidates(gp, g, x)
+    assert len(cands) == len(eis)
+    import jax
+    with jax.enable_x64():
+        for c, e in zip(cands, eis):
+            want = float(acquisition_fun(
+                gp, jnp.asarray(c.reshape(1, -1), jnp.float64),
+                jnp.asarray(x, jnp.float64), "ei")[0])
+            assert e == pytest.approx(want, rel=1e-6, abs=1e-12)
+
+
 def test_bo_resume(tmp_path):
     run_params = {"bo_results_path": str(tmp_path), "devices": None}
     bo("denoising", "mfvi", BO_PARAMS, run_params, n_rounds=2, plot=False,
