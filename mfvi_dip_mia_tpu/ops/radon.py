@@ -177,7 +177,13 @@ class FastRadonTransform:
             from .pallas import radon_banded as _rb
             if (jax.default_backend() == "tpu" and w >= _rb.JWIN
                     and h == w and h % _rb.PATCH == 0):
-                mode = "banded"
+                # bf16-stored band: the op is HBM-bound on the 805 MB (256^2)
+                # band, so halving the bytes halves fwd+adjoint time
+                # (measured r3: fwd 1.24 -> ~0.6 ms). Relative operator error
+                # < 1e-3; end-to-end CT convergence within 0.05 dB at 5k
+                # iters (scripts/ab_radon_dtype.py). MFVI_DIP_RADON=banded
+                # forces the exact-f32 band.
+                mode = "banded-bf16"
             else:
                 nbytes = self.n_angles * w * h * w * 4
                 mode = ("matmul" if nbytes <= self.MATMUL_BUDGET_BYTES

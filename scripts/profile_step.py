@@ -15,8 +15,11 @@ from __future__ import annotations
 
 import argparse
 import collections
+import os
 import re
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv=None):
@@ -100,7 +103,11 @@ def main(argv=None):
     #   %op.name = f32[...] fusion(...), kind=kLoop, ...
     #     backend_config={..."estimated_cycles":"12345"...}
     cyc_re = re.compile(r'"estimated_cycles"\s*:\s*"?(\d+)"?')
-    name_re = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*[\w\[\]{},\s]*?(\w+)\(')
+    # op name at line start; opcode = the lowercase word directly before the
+    # operand list '(' (shape tokens like {3,0,2,1:T(1,128)} contain parens
+    # too, but never a space-preceded lowercase word before one)
+    name_re = re.compile(r'^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=')
+    op_re = re.compile(r'\s([a-z][\w\-]*)\(')
     agg = collections.Counter()
     cnt = collections.Counter()
     sample = {}
@@ -111,7 +118,9 @@ def main(argv=None):
             continue
         cycles = int(m.group(1))
         nm = name_re.match(line)
-        name, kind = (nm.group(1), nm.group(2)) if nm else ("?", "?")
+        name = nm.group(1) if nm else "?"
+        om = op_re.search(line[nm.end():] if nm else line)
+        kind = om.group(1) if om else "?"
         if kind == "fusion":
             km = re.search(r'kind=k(\w+)', line)
             kind = f"fusion.{km.group(1) if km else '?'}"
