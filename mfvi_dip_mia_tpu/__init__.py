@@ -21,3 +21,19 @@ Architecture (nothing here is a port of the reference's torch modules):
 """
 
 __version__ = "0.1.0"
+
+# Public API — the names a reference (get_net / BayTorch / train_*) user
+# reaches for first, re-exported from their home submodules. Heavy optional
+# subsystems (bo, parallel, tasks) stay lazy: import them explicitly.
+from .nn.skip import SkipNet, build_skip_net                     # noqa: E402
+from .bayes.vi import to_mfvi, kl_mfvi, kl_mfvi_mc               # noqa: E402
+from .bayes.uncertainty import (mc_predict,                      # noqa: E402
+                                uncert_regression_gal)
+from .ops.losses import gaussian_nll, gaussian_nll_masked        # noqa: E402
+from .ops.metrics import psnr, ssim                              # noqa: E402
+
+__all__ = [
+    "SkipNet", "build_skip_net", "to_mfvi", "kl_mfvi", "kl_mfvi_mc",
+    "mc_predict", "uncert_regression_gal", "gaussian_nll",
+    "gaussian_nll_masked", "psnr", "ssim", "__version__",
+]

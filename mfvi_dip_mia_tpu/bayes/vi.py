@@ -122,16 +122,20 @@ def kl_mfvi(params, prior_mu: float = 0.0, prior_sigma: float = 0.1,
     """
     sigma_pr = prior_sigma + PRIOR_SIGMA_STABILIZER
     leaves = _collect_variational(params)
+    if not leaves:
+        return jnp.float32(0.0)
 
-    total = jnp.float32(0.0)
-    for mu, rho in leaves:
-        sigma_post = jax.nn.softplus(rho)
-        if kl_type == "reverse":
-            kl = _kl_normal_normal(prior_mu, sigma_pr, mu, sigma_post)
-        else:
-            kl = _kl_normal_normal(mu, sigma_post, prior_mu, sigma_pr)
-        total = total + jnp.sum(kl)
-    return total
+    # one fused computation over the concatenated parameter plane instead of
+    # ~2 x n_leaves tiny per-leaf fusions (the formula is elementwise and the
+    # reduction order only reorders an fp sum)
+    mu = jnp.concatenate([m.reshape(-1) for m, _ in leaves])
+    sigma_post = jax.nn.softplus(
+        jnp.concatenate([r.reshape(-1) for _, r in leaves]))
+    if kl_type == "reverse":
+        kl = _kl_normal_normal(prior_mu, sigma_pr, mu, sigma_post)
+    else:
+        kl = _kl_normal_normal(mu, sigma_post, prior_mu, sigma_pr)
+    return jnp.sum(kl)
 
 
 # ---------------------------------------------------------------------------

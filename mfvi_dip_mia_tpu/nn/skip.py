@@ -37,7 +37,15 @@ import jax.numpy as jnp
 from . import cf
 from . import init as init_lib
 from . import layers
-from .var_conv import apply_conv_leaf
+from .var_conv import apply_conv_leaf, sample_rt_kernel
+
+
+def _fused_block_enabled() -> bool:
+    """Fused conv+BN+LeakyReLU Pallas block for eligible CF sites (see
+    ops/pallas/fused_block.py). Toggle off with MFVI_DIP_FUSED_BLOCK=0 for
+    A/B runs; read at trace time like the other kernel gates."""
+    import os
+    return os.environ.get("MFVI_DIP_FUSED_BLOCK", "1") != "0"
 
 
 class _NHWCOps:
@@ -143,6 +151,7 @@ class SkipNet:
         assert len(num_channels_up) == len(num_channels_skip) == n
         self.n_scales = n
         self.act = layers.activation(act_fun)
+        self.act_name = act_fun
         self.need_sigmoid = need_sigmoid
 
         up_modes = _as_list(upsample_mode, n)
@@ -191,6 +200,16 @@ class SkipNet:
         self.out_conv = site(num_channels_up[0], num_output_channels, 1, 1,
                              dropout_mode_output, dropout_p_output)
         self.num_conv_sites = sid[0]
+
+    def structure_key(self):
+        """Hashable full-structure key: nets with equal keys have identical
+        ``init``/``apply`` behavior (both are pure functions of params and
+        the frozen site/level configs). Lets executable caches be shared
+        across instances — BO fanout builds a fresh net per candidate, and
+        without structural sharing every fanout thread would re-deserialize
+        (= re-run LLVM codegen for) the same XLA executable."""
+        return (tuple(self.levels), self.out_conv, self.act_name,
+                self.need_sigmoid)
 
     # -- init ---------------------------------------------------------------
 
@@ -290,6 +309,22 @@ class SkipNet:
         skip_bias = (s.dropout_mode == "None" and reparam != "lrt"
                      and (s.stride == 1
                           or s.downsample_mode in ("stride", "avg", "max")))
+        # Eligible CF sites run the whole conv->BN->LeakyReLU chain as one
+        # VMEM-resident Pallas block (ops/pallas/fused_block.py): the weight
+        # is materialized first (sample_rt_kernel keeps the PRNG stream
+        # identical), so RT/deterministic sites fuse; LRT cannot (activation-
+        # space noise between conv and BN).
+        if (ops.is_cf and skip_bias and s.stride == 1
+                and self.act_name == "LeakyReLU" and _fused_block_enabled()):
+            from ..ops.pallas import fused_block as fb
+            leaf = p["conv"]
+            site_key = (jax.random.fold_in(key, s.site_id)
+                        if key is not None else None)
+            w = sample_rt_kernel(leaf, site_key, training)
+            out = fb.apply_fused(x, w, p["bn"]["scale"], p["bn"]["offset"],
+                                 pad_mode=s.pad_mode, slope=0.2)
+            if out is not None:
+                return out
         x = self._conv_site(s, p["conv"], x, key, training, reparam, dropout_p,
                             skip_bias=skip_bias, ops=ops)
         x = ops.batch_norm_train(x, p["bn"]["scale"], p["bn"]["offset"])

@@ -22,6 +22,24 @@ def is_variational_leaf(node) -> bool:
     return isinstance(node, dict) and "w_mu" in node
 
 
+def sample_rt_kernel(leaf, key, training: bool) -> jnp.ndarray:
+    """Materialize the conv kernel an RT (or deterministic) site would use,
+    consuming the PRNG stream exactly like ``apply_conv_leaf`` with
+    ``skip_bias=True`` (kw/kb split, bias normal never drawn). Lets fused
+    conv(+BN+act) kernels take a plain HWIO tensor while staying
+    sample-for-sample identical to the unfused path."""
+    if not is_variational_leaf(leaf):
+        return leaf["w"]
+    if not training:
+        return leaf["w_mu"]
+    if key is None:
+        raise ValueError("variational conv needs a PRNG key when training")
+    kw, _ = jax.random.split(key)
+    w_mu, w_rho = leaf["w_mu"], leaf["w_rho"]
+    return w_mu + jax.nn.softplus(w_rho) * jax.random.normal(
+        kw, w_mu.shape, w_mu.dtype)
+
+
 def apply_conv_leaf(leaf, x, *, stride: int, padding: int, key=None,
                     training: bool = True, reparam: str = "rt",
                     skip_bias: bool = False) -> jnp.ndarray:

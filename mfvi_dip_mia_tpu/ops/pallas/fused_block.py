@@ -460,7 +460,8 @@ def apply_fused(x_cf: jnp.ndarray, w: jnp.ndarray, gamma: jnp.ndarray,
     n, ci, h, wd = x_cf.shape
     k = int(w.shape[0])
     co = int(w.shape[3])
-    if n != 1 or not supported(ci, co, h, wd, k):
+    if (n != 1 or x_cf.dtype != jnp.float32 or w.ndim != 4
+            or not supported(ci, co, h, wd, k)):
         return None
     p = (k - 1) // 2
     wp = _round_up(wd + (k - 1), 128)

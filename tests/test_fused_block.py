@@ -103,6 +103,52 @@ def test_fused_k1(rng):
                                rtol=2e-3, atol=2e-3)
 
 
+@pytest.mark.parametrize("variational", [False, True])
+def test_skipnet_fused_matches_unfused(rng, monkeypatch, variational):
+    """SkipNet layout='auto' with the fused block on vs off: identical
+    samples (sample_rt_kernel pins the PRNG stream), matching outputs and
+    parameter gradients."""
+    import jax.random as jr
+    from mfvi_dip_mia_tpu.nn.skip import SkipNet
+    from mfvi_dip_mia_tpu.bayes.vi import to_mfvi
+    from mfvi_dip_mia_tpu.nn import skip as skip_mod
+
+    net = SkipNet(num_input_channels=2, num_output_channels=1,
+                  num_channels_down=(16, 32), num_channels_up=(16, 32),
+                  num_channels_skip=(4, 4), pad="reflection",
+                  need_sigmoid=False)
+    params = net.init(jr.PRNGKey(0))
+    if variational:
+        params = to_mfvi(params, jr.PRNGKey(1))
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 2)).astype(np.float32))
+    key = jr.PRNGKey(7)
+
+    def run(enabled):
+        monkeypatch.setenv("MFVI_DIP_FUSED_BLOCK", "1" if enabled else "0")
+
+        def loss(p):
+            out = net.apply(p, x, key=key, training=True, layout="auto")
+            return jnp.sum(out ** 2)
+
+        out = net.apply(params, x, key=key, training=True, layout="auto")
+        grads = jax.grad(loss)(params)
+        return out, grads
+
+    out_f, g_f = run(True)
+    out_u, g_u = run(False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_u),
+                               rtol=2e-4, atol=2e-4)
+    flat_f = jax.tree_util.tree_leaves(g_f)
+    flat_u = jax.tree_util.tree_leaves(g_u)
+    assert len(flat_f) == len(flat_u)
+    for a, b in zip(flat_f, flat_u):
+        # near-zero leaves (BN offsets under big cancellation sums) carry
+        # O(1e-4) float-summation noise in EITHER path; floor the atol there
+        scale = float(jnp.max(jnp.abs(b)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=max(2e-4, 5e-3 * scale))
+
+
 def test_supported_gate():
     assert fb.supported(16, 16, 256, 256, 3)
     assert fb.supported(36, 32, 128, 128, 3)
