@@ -93,25 +93,34 @@ def run_candidates_spmd(task: str, bayes: str, candidates: Sequence,
 
 def run_candidates(task: str, bayes: str, candidates: Sequence,
                    run_params: dict, devices=None, runner=None,
-                   use_spmd: bool = False):
+                   use_spmd: bool = False, interleave: str | bool = "auto"):
     """Evaluate every candidate concurrently; returns
     (kept_candidates, kept_scores) with NaN/crashed candidates dropped.
 
     ``devices``: list of jax.Device / "tpu:0"-style strings / None for all
     local devices. ``runner`` overrides the runner callable (tests).
     ``use_spmd=True`` routes through the single-program sharded sweep
-    instead of thread-per-candidate dispatch."""
+    instead of thread-per-candidate dispatch.
+
+    ``interleave``: with more candidates than devices, "auto" (default)
+    runs each device's candidate group as ONE interleaved multi-fit
+    (tasks/runners.py::run_group_interleaved — double-buffered chunk
+    dispatch, host work hidden behind device time) instead of
+    over-subscribed threads. False forces thread-per-candidate; True forces
+    grouping even at one candidate per device (no-op but exercises the
+    path)."""
     import jax
     from ..tasks.runners import run_task, resolve_device
+    from ..utils.compile_guard import serialize_compiles
 
     if use_spmd and runner is None:
         return run_candidates_spmd(task, bayes, candidates, run_params)
 
+    # concurrent cold compiles from fanout threads crash the CPU backend
+    # (see utils/compile_guard.py); execution stays fully concurrent
+    serialize_compiles()
+
     task = TASK_ALIASES[task]
-    if runner is None:
-        def runner(idx, dev, cand):
-            return run_task(task, bayes, index=idx, device=dev,
-                            **candidate_kwargs(bayes, cand), **run_params)
 
     if devices is None:
         devices = jax.devices()
@@ -119,22 +128,61 @@ def run_candidates(task: str, bayes: str, candidates: Sequence,
 
     results = [None] * len(candidates)
 
-    def work(idx, cand, dev):
-        try:
-            results[idx] = float(runner(idx, dev, cand))
-        except Exception:
-            print(f"[fanout] candidate {cand} failed on {dev}:\n"
-                  f"{traceback.format_exc()}", flush=True)
-            results[idx] = float("nan")
+    oversubscribed = len(candidates) > len(devices)
+    if (runner is None and bayes != "dip"
+            and (interleave is True
+                 or (interleave == "auto" and oversubscribed))):
+        groups = {d: [] for d in range(len(devices))}
+        for i in range(len(candidates)):
+            groups[i % len(devices)].append(i)
 
-    threads = []
-    for i, cand in enumerate(candidates):
-        dev = devices[i % len(devices)]
-        t = threading.Thread(target=work, args=(i, cand, dev), daemon=True)
-        t.start()
-        threads.append(t)
-    for t in threads:
-        t.join()
+        def work_group(dev, idxs):
+            from ..tasks.runners import run_group_interleaved
+            try:
+                finals = run_group_interleaved(
+                    task, bayes, [candidates[i] for i in idxs], device=dev,
+                    **run_params)
+                for i, y in zip(idxs, finals):
+                    results[i] = float(y)
+            except Exception:
+                print(f"[fanout] interleaved group {idxs} failed on {dev}:\n"
+                      f"{traceback.format_exc()}", flush=True)
+                for i in idxs:
+                    results[i] = float("nan")
+
+        threads = []
+        for d, idxs in groups.items():
+            if not idxs:
+                continue
+            t = threading.Thread(target=work_group,
+                                 args=(devices[d], idxs), daemon=True)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
+    else:
+        if runner is None:
+            def runner(idx, dev, cand):
+                return run_task(task, bayes, index=idx, device=dev,
+                                **candidate_kwargs(bayes, cand), **run_params)
+
+        def work(idx, cand, dev):
+            try:
+                results[idx] = float(runner(idx, dev, cand))
+            except Exception:
+                print(f"[fanout] candidate {cand} failed on {dev}:\n"
+                      f"{traceback.format_exc()}", flush=True)
+                results[idx] = float("nan")
+
+        threads = []
+        for i, cand in enumerate(candidates):
+            dev = devices[i % len(devices)]
+            t = threading.Thread(target=work, args=(i, cand, dev),
+                                 daemon=True)
+            t.start()
+            threads.append(t)
+        for t in threads:
+            t.join()
 
     kept_c, kept_y = [], []
     for cand, y in zip(candidates, results):

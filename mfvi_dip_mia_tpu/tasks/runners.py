@@ -88,7 +88,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
              seed: int = 42, show_every: int = 100, plot: bool = True,
              save: bool = True, save_path: str = "./logs",
              log_every_chunk: bool = False, metrics_every: int = 1,
-             chunk_iters=None, **kwargs) -> float:
+             chunk_iters=None, early_stop=None, **kwargs) -> float:
     """Generic runner; the 16 named wrappers below pin (task, method)."""
     from ..utils import viz
 
@@ -152,7 +152,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
     res = fit(problem, method, num_iter=num_iter, lr=lr, seed=seed,
               show_every=show_every, rng=rng, device=dev,
               metrics_every=metrics_every, chunk_iters=chunk_iters,
-              collect_snapshots=(plot or save),
+              collect_snapshots=(plot or save), early_stop=early_stop,
               log_fn=log_fn if log_every_chunk else None,
               snapshot_fn=snapshot_fn if plot else None)
 
@@ -201,6 +201,72 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
         np.savez(str(out_dir / "save.npz"), **payload)
 
     return res.final_psnr
+
+
+def run_group_interleaved(task: str, method_name: str, candidates,
+                          device=None, *, img: int = 0, num_iter: int = 5000,
+                          lr: float = 3e-4, p_sigma: float = 0.1,
+                          input_depth: int = 16, seed: int = 42,
+                          show_every: int = 100, metrics_every: int = 1,
+                          chunk_iters=None, early_stop=None,
+                          plot: bool = False, save: bool = False,
+                          save_path: str = "./logs", index: int = 0,
+                          **kwargs) -> list:
+    """Evaluate several same-method BO candidates on ONE device with
+    ``fit_interleaved`` (chunk dispatches round-robined so host work hides
+    behind device time). Results are bit-identical to per-candidate
+    ``run_task`` calls with the same seed. Artifacts: per-candidate
+    locals.txt + loss plot when ``plot``; snapshot images and save.npz need
+    the snapshot machinery and are ``run_task``-only (sweeps run save=False).
+
+    Returns the final smoothed PSNR per candidate (NaN where a fit
+    diverged). Replaces candidate *processes* per GPU
+    (ref bayesian_optimization.py:3756-3768)."""
+    from ..parallel.fanout import candidate_kwargs
+    from ..utils import viz
+    from .trainer import fit_interleaved
+
+    dev = resolve_device(device)
+    methods, rngs = [], []
+    problem = None
+    for cand in candidates:
+        rng = np.random.default_rng(seed)
+        overrides = candidate_kwargs(method_name, cand)
+        # every build consumes the identical host-noise stream the
+        # per-candidate run_task would, so each fit's rng state matches
+        problem = build_problem(task, method_name, img, p_sigma=p_sigma,
+                                input_depth=input_depth,
+                                dropout_p=overrides.get("dropout_p", 0.3),
+                                rng=rng)
+        methods.append(method_for(task, method_name, overrides))
+        rngs.append(rng)
+    if dev is not None:
+        problem.gt = jax.device_put(problem.gt, dev)
+        problem.target = jax.device_put(problem.target, dev)
+        if problem.mask is not None:
+            problem.mask = jax.device_put(problem.mask, dev)
+        if problem.op_state is not None:
+            problem.op_state = jax.device_put(problem.op_state, dev)
+
+    results = fit_interleaved(
+        problem, methods, num_iter=num_iter, lr=lr, seed=seed, rngs=rngs,
+        show_every=show_every, metrics_every=metrics_every,
+        chunk_iters=chunk_iters, device=dev, early_stop=early_stop)
+
+    if plot or save:
+        for cand, res in zip(candidates, results):
+            out_dir = Path(save_path) / str(time.time())
+            out_dir.mkdir(parents=True, exist_ok=False)
+            dump_locals(str(out_dir / "locals.txt"), dict(
+                task=task, bayes=method_name, img=img, num_iter=num_iter,
+                lr=lr, seed=seed, device=str(dev), interleaved=True,
+                **candidate_kwargs(method_name, cand)))
+            if plot:
+                viz.plot_loss(res.mse_corrupted, res.mse_gt, res.psnrs,
+                              num_iter,
+                              str(out_dir / f"loss_{method_name}.png"),
+                              f"MSE {method_name.upper()}")
+    return [res.final_psnr for res in results]
 
 
 def _make_runner(task, method):

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import threading
 import time
 from typing import Callable, NamedTuple, Optional
 
@@ -290,7 +291,29 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
 
 import weakref
 
-_RUN_CHUNK_CACHE = weakref.WeakKeyDictionary()
+# Keyed by net.structure_key() when available (falls back to the net object,
+# weakly): BO fanout builds a FRESH net per candidate, and object-identity
+# keying would force every candidate to re-deserialize the same executable
+# from the persistent cache — LLVM codegen per thread, measured in seconds
+# and segfault-prone off the main thread. Structural keying gives all
+# same-shape candidates the one in-process executable the architecture
+# intends.
+_RUN_CHUNK_CACHE: dict = {}
+_RUN_CHUNK_CACHE_WEAK = weakref.WeakKeyDictionary()
+
+
+def _net_cache(net) -> dict:
+    key = getattr(net, "structure_key", None)
+    if key is None:
+        return _RUN_CHUNK_CACHE_WEAK.setdefault(net, {})
+    return _RUN_CHUNK_CACHE.setdefault(key(), {})
+
+# Serializes each fit's FIRST chunk dispatch: concurrent thread-fanout fits
+# cold-compiling the same program race inside XLA's executable
+# (de)serialization (observed SIGABRT in backend.deserialize_executable via
+# the persistent cache). After one thread compiles, the others hit pjit's
+# in-process cache and all later chunks run lock-free.
+_COMPILE_LOCK = threading.Lock()
 
 
 def _get_run_chunk(problem: Problem, method_name: str, optimizer,
@@ -301,7 +324,7 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     tensors, the PRNG key, run lengths and all hyperparameters are traced
     arguments, so repeated fits — every BO candidate, every seed — reuse a
     single XLA executable."""
-    per_net = _RUN_CHUNK_CACHE.setdefault(problem.net, {})
+    per_net = _net_cache(problem.net)
     cache_key = (problem.task, method_name, reparam, str(compute_dtype),
                  layout,
                  problem.gt.shape, problem.target.shape,
@@ -331,7 +354,7 @@ def _get_init_fn(problem: Problem, method_name: str, optimizer,
     """One jit'd initializer: the eager per-leaf init is ~200 separate device
     dispatches (tens of seconds through a remote-TPU tunnel); fused it is one.
     Cached per (net, method) like the chunk runner."""
-    per_net = _RUN_CHUNK_CACHE.setdefault(problem.net, {})
+    per_net = _net_cache(problem.net)
     cache_key = ("init", method_name, init_normal_std)
     if cache_key in per_net:
         return per_net[cache_key]
@@ -353,10 +376,16 @@ def _get_init_fn(problem: Problem, method_name: str, optimizer,
 def _build_optimizer(method: Method, lr: float):
     """AdamW with lr/weight_decay as *state-resident* (traced) hyperparams.
     SGLD's decayed lr and the per-method weight decay are written into
-    opt_state.hyperparams inside the step (see make_step_fn)."""
+    opt_state.hyperparams inside the step (see make_step_fn).
+
+    optax.flatten: AdamW is elementwise, so running it over ONE concatenated
+    vector is bitwise-identical to the per-leaf form while collapsing ~300
+    tiny per-leaf fusions (HLO cycle profile: 840 loop fusions dominated the
+    step at 256^2) into a handful of big ones."""
     wd = method.weight_decay if method.name in ("mcd", "sgld") else 0.0
-    return optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
-                                                 weight_decay=wd)
+    return optax.flatten(
+        optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
+                                              weight_decay=wd))
 
 
 def save_fit_checkpoint(path: str, state: TrainState, chunk: int,
@@ -436,6 +465,31 @@ def prepare_fit(problem: Problem, method: Method, *, lr: float,
     return state, hp, data, z_np, optimizer
 
 
+class _EarlyStop:
+    """Host-side early stopping on the smoothed-recon PSNR (the BO
+    objective). OPT-IN — the reference always runs the full budget, so BO
+    parity requires this off; when on, a fit stops once the best smoothed
+    PSNR has not improved by ``min_delta`` dB within ``patience`` iterations.
+    Decisions are per-chunk (the scan itself stays fixed-shape)."""
+
+    def __init__(self, spec: dict):
+        self.patience = int(spec.get("patience", 5000))
+        self.min_delta = float(spec.get("min_delta", 0.05))
+        self.best = -np.inf
+        self.best_iter = 0
+
+    def should_stop(self, psnr_sm_rows: np.ndarray, start: int) -> bool:
+        col = np.asarray(psnr_sm_rows)
+        finite = np.isfinite(col)
+        if finite.any():
+            i = int(np.nanargmax(np.where(finite, col, -np.inf)))
+            if col[i] > self.best + self.min_delta:
+                self.best = float(col[i])
+                self.best_iter = start + i
+                return False
+        return (start + len(col) - 1 - self.best_iter) >= self.patience
+
+
 def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         seed: int = 42, show_every: int = 100,
         log_fn: Optional[Callable] = None,
@@ -448,6 +502,7 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         resume: bool = False,
         collect_snapshots: bool = True,
         chunk_iters: Optional[int] = None,
+        early_stop: Optional[dict] = None,
         shardings: Optional[dict] = None) -> FitResult:
     """Run one full DIP fit. Returns per-iteration metric traces + snapshot
     stacks with the reference's shapes and the final smoothed-recon PSNR
@@ -461,6 +516,11 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     overhead — +13% measured on the CT fit at 500 vs 100 — at the cost of
     coarser host-side logging; snapshot collection requires chunk
     boundaries to land on ``show_every`` boundaries.
+
+    ``early_stop={'patience': iters, 'min_delta': dB}`` (opt-in; deviation
+    from the reference's fixed budget) ends the fit once the smoothed PSNR
+    plateaus; trailing metric entries are NaN and ``final_psnr`` is the last
+    computed value.
     """
     _enable_persistent_compile_cache()
 
@@ -521,15 +581,21 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
 
     t0 = time.perf_counter()
     compile_s = 0.0
+    es = _EarlyStop(early_stop) if early_stop else None
+    executed = num_iter
     for s in range(start_chunk, n_chunks):
         start = s * chunk
         its = jnp.arange(start, start + chunk, dtype=jnp.int32)
         if s == start_chunk:
             tc = time.perf_counter()
-        state, rows = run_chunk(state, its, num_iter, show_every, hp, data)
-        if s == start_chunk:
+            with _COMPILE_LOCK:
+                state, rows = run_chunk(state, its, num_iter, show_every,
+                                        hp, data)
             jax.block_until_ready(rows)
             compile_s = time.perf_counter() - tc
+        else:
+            state, rows = run_chunk(state, its, num_iter, show_every, hp,
+                                    data)
         rows = np.asarray(rows)
         end = min(start + chunk, num_iter)
         n = end - start
@@ -565,9 +631,15 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
                  "ssims": ssims, "recons": recons, "unc_epi": unc_epi,
                  "unc_ale": unc_ale})
 
+        if es is not None and es.should_stop(psnrs[start:end, 2], start):
+            executed = end
+            for arr in (mse_c, mse_g, psnrs, ssims):
+                arr[end:] = np.nan
+            break
+
     total_s = time.perf_counter() - t0
     steady = max(total_s - compile_s, 1e-9)
-    iters_per_sec = (num_iter - 1) / steady if num_iter > 1 else 0.0
+    iters_per_sec = (executed - 1) / steady if executed > 1 else 0.0
 
     valid = np.where(np.isfinite(psnrs[:, 2]))[0]
     final_psnr = float(psnrs[valid[-1], 2]) if len(valid) else float("nan")
@@ -577,3 +649,135 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         params=jax.device_get(state.params), net_input=z_np,
         iters_per_sec=iters_per_sec, compile_seconds=compile_s,
         final_psnr=final_psnr)
+
+
+def fit_interleaved(problem: Problem, methods, *, num_iter: int, lr: float,
+                    seed: int = 42, rngs=None, show_every: int = 100,
+                    metrics_every: int = 1, chunk_iters: Optional[int] = None,
+                    reparam: str = "rt", device=None,
+                    compute_dtype=jnp.float32, layout: str = "nhwc",
+                    early_stop: Optional[dict] = None) -> list:
+    """K independent fits of the SAME problem (one per ``methods`` entry)
+    time-multiplexed on ONE device via double-buffered async dispatch.
+
+    All fits share one compiled chunk executable (hyperparameters are
+    traced); each scan-chunk dispatch is asynchronous, so while the host
+    materializes fit j's metric rows the device is already executing the
+    other fits' chunks — per-chunk host work (np.asarray of the metric
+    block) hides behind device time instead of serializing with it. This is
+    the TPU-native replacement for over-subscribing a chip with candidate
+    *processes* (the reference round-robins candidates onto GPUs one process
+    each, bayesian_optimization.py:3756-3768, paying full per-process model
+    setup; here extra candidates per chip cost one TrainState each).
+
+    Sweep-oriented: no snapshot stacks, no checkpointing (use ``fit`` for
+    single runs that need artifacts). Each fit consumes the identical PRNG
+    stream it would under ``fit`` with the same seed, so results are
+    bit-identical to sequential fits. ``rngs`` (optional, one numpy
+    Generator per method) replays the per-candidate host-noise stream;
+    default: a fresh ``default_rng(seed)`` per fit.
+
+    Returns one FitResult per method (snapshot stacks zero-sized).
+    """
+    _enable_persistent_compile_cache()
+
+    assert len({m.name for m in methods}) == 1, \
+        "interleaved fits must share a method (one compiled executable)"
+    num_iter = num_iter + 1  # ref :306
+    k_fits = len(methods)
+    h, w = problem.imsize
+    mc = problem.mean_ch
+
+    states, hps, datas, zs = [], [], [], []
+    optimizer = None
+    for j, m in enumerate(methods):
+        rng = (rngs[j] if rngs is not None
+               else np.random.default_rng(seed))
+        state, hp, data, z_np, optimizer = prepare_fit(
+            problem, m, lr=lr, seed=seed, rng=rng,
+            metrics_every=metrics_every, device=device,
+            warm_transfer=(j == 0))
+        if j > 0:
+            # identical across fits by construction — share the big device
+            # buffers (gt/target/op_state) instead of K copies
+            data = dict(data, gt=datas[0]["gt"], target=datas[0]["target"],
+                        mask=datas[0]["mask"], op_state=datas[0]["op_state"])
+        states.append(state)
+        hps.append(hp)
+        datas.append(data)
+        zs.append(z_np)
+
+    run_chunk = _get_run_chunk(problem, methods[0].name, optimizer, reparam,
+                               compute_dtype, layout)
+
+    chunk = chunk_iters or show_every
+    n_chunks = -(-num_iter // chunk)
+
+    mse_c = [np.full(num_iter, np.nan) for _ in range(k_fits)]
+    mse_g = [np.full(num_iter, np.nan) for _ in range(k_fits)]
+    psnrs = [np.full((num_iter, 3), np.nan) for _ in range(k_fits)]
+    ssims = [np.full((num_iter, 3), np.nan) for _ in range(k_fits)]
+
+    active = [True] * k_fits
+    executed = [num_iter] * k_fits
+    es = [_EarlyStop(early_stop) if early_stop else None
+          for _ in range(k_fits)]
+
+    t0 = time.perf_counter()
+    compile_s = 0.0
+    for s in range(n_chunks):
+        start = s * chunk
+        its = jnp.arange(start, start + chunk, dtype=jnp.int32)
+        pending = []
+        if s == 0:
+            tc = time.perf_counter()
+            # cold compile under the same lock as fit() — device-group
+            # threads race XLA executable (de)serialization otherwise
+            with _COMPILE_LOCK:
+                for j in range(k_fits):
+                    if not active[j]:
+                        continue
+                    states[j], rows = run_chunk(states[j], its, num_iter,
+                                                show_every, hps[j], datas[j])
+                    pending.append((j, rows))
+                if pending:
+                    jax.block_until_ready(pending[0][1])
+            compile_s = time.perf_counter() - tc
+        else:
+            for j in range(k_fits):
+                if not active[j]:
+                    continue
+                states[j], rows = run_chunk(states[j], its, num_iter,
+                                            show_every, hps[j], datas[j])
+                pending.append((j, rows))
+        end = min(start + chunk, num_iter)
+        n = end - start
+        for j, rows in pending:
+            rows = np.asarray(rows)   # fit j materializes while j+1.. execute
+            mse_c[j][start:end] = rows[:n, 0]
+            mse_g[j][start:end] = rows[:n, 1]
+            psnrs[j][start:end] = rows[:n, 2:5]
+            ssims[j][start:end] = rows[:n, 5:8]
+            if es[j] is not None and es[j].should_stop(psnrs[j][start:end, 2],
+                                                       start):
+                active[j] = False
+                executed[j] = end
+        if not any(active):
+            break
+
+    total_s = time.perf_counter() - t0
+    steady = max(total_s - compile_s, 1e-9)
+
+    results = []
+    empty = np.zeros((0, mc, h, w), np.float32)
+    for j in range(k_fits):
+        valid = np.where(np.isfinite(psnrs[j][:, 2]))[0]
+        final = float(psnrs[j][valid[-1], 2]) if len(valid) else float("nan")
+        results.append(FitResult(
+            mse_corrupted=mse_c[j], mse_gt=mse_g[j], psnrs=psnrs[j],
+            ssims=ssims[j], recons=empty, uncerts_epi=empty,
+            uncerts_ale=empty, params=jax.device_get(states[j].params),
+            net_input=zs[j],
+            iters_per_sec=(executed[j] - 1) / steady,
+            compile_seconds=compile_s, final_psnr=final))
+    return results

@@ -149,3 +149,55 @@ def test_deterministic_given_seed(small_nets):
     r2 = fit(problem, method, num_iter=10, lr=1e-3, seed=7, show_every=100,
              rng=np.random.default_rng(7))
     np.testing.assert_allclose(r1.psnrs, r2.psnrs, rtol=1e-5)
+
+
+def test_fit_interleaved_matches_sequential(small_nets):
+    """Two candidates interleaved on one device == two sequential fits
+    (same seed -> identical PRNG streams -> identical metric rows)."""
+    from mfvi_dip_mia_tpu.tasks.trainer import fit_interleaved
+
+    methods = [Method(name="mfvi", temp=1e-6, sigma=1e-3),
+               Method(name="mfvi", temp=1e-4, sigma=1e-2)]
+    inter = fit_interleaved(build_problem("den", "mfvi", 0, input_depth=8),
+                            methods, num_iter=40, lr=2e-3, seed=3,
+                            show_every=20)
+    for m, got in zip(methods, inter):
+        problem = build_problem("den", "mfvi", 0, input_depth=8)
+        want = fit(problem, m, num_iter=40, lr=2e-3, seed=3, show_every=20)
+        np.testing.assert_allclose(got.psnrs, want.psnrs, rtol=1e-5,
+                                   atol=1e-5)
+        assert got.final_psnr == pytest.approx(want.final_psnr, abs=1e-4)
+
+
+def test_fit_early_stop_truncates(small_nets):
+    """Opt-in early stop: an impossible min_delta stops at the first
+    patience boundary; trailing metrics are NaN and final_psnr is the last
+    computed value."""
+    problem = build_problem("den", "mfvi", 0, input_depth=8)
+    method = Method(name="mfvi", temp=1e-6, sigma=1e-3)
+    res = fit(problem, method, num_iter=200, lr=2e-3, seed=1, show_every=20,
+              early_stop={"patience": 40, "min_delta": 100.0})
+    assert np.isnan(res.psnrs[-1, 2])
+    n_done = int(np.isfinite(res.psnrs[:, 2]).sum())
+    assert n_done <= 80  # stopped around patience, far before 200
+    assert np.isfinite(res.final_psnr)
+
+
+def test_fanout_interleaved_groups(small_nets, monkeypatch):
+    """run_candidates(auto) groups oversubscribed candidates into one
+    interleaved multi-fit per device and returns the same scores as the
+    thread path."""
+    import jax
+    import mfvi_dip_mia_tpu.tasks.data as D
+    from mfvi_dip_mia_tpu.parallel.fanout import run_candidates
+
+    run_params = dict(img=0, num_iter=30, lr=2e-3, seed=2, show_every=15,
+                      input_depth=8, plot=False, save=False)
+    cands = [(1e-6, 1e-3), (1e-4, 1e-2), (1e-5, 3e-3)]
+    dev = [jax.devices()[0]]
+    kept_i, y_i = run_candidates("den", "mfvi", cands, run_params, dev,
+                                 interleave="auto")
+    kept_t, y_t = run_candidates("den", "mfvi", cands, run_params, dev,
+                                 interleave=False)
+    assert kept_i == kept_t
+    np.testing.assert_allclose(y_i, y_t, atol=1e-4)
