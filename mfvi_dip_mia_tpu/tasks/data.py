@@ -159,6 +159,26 @@ def synthetic_hair(img: int, size: int = 256):
     return base, mask3
 
 
+# A REAL medical image vendored with the repo (data/real/s1045.ima.gz): the
+# classic 256x256 MRI head slice from matplotlib's BSD-licensed sample data
+# (mpl-data/sample_data, the mri_demo dataset). The reference's own real
+# datasets (skimage.data.brain() for CT img 0, the coronacases CT volumes,
+# the chest-X-ray denoising set) are not redistributable/downloadable here
+# (reference .gitignore:10), so this slice anchors the accuracy tables on
+# real anatomy; see BASELINE.md for which published rows remain unverified.
+_REAL_MRI = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "..", "data", "real", "s1045.ima.gz")
+
+
+def real_mri_slice() -> np.ndarray:
+    """(1, 256, 256) float32 in [0, 1]: a real MRI head slice (uint16 raw,
+    gzip). Exposed as img index 9 for the ct and denoising tasks."""
+    import gzip
+    raw = gzip.open(_REAL_MRI).read()
+    im = np.frombuffer(raw, np.uint16).astype(np.float32).reshape(256, 256)
+    return _norm01(im)[None]
+
+
 def _warn_fallback(task, img, rel):
     warnings.warn(
         f"{task} image {img}: '{rel}' not found under {data_root()!r}; "
@@ -166,7 +186,11 @@ def _warn_fallback(task, img, rel):
 
 
 def get_image_denoising(img: int):
-    """(ref bayesian_optimization.py:46-71) -> (img_np CHW, imsize)."""
+    """(ref bayesian_optimization.py:46-71) -> (img_np CHW, imsize).
+    img=9 (an addition): the vendored real MRI slice."""
+    if img == 9:
+        im = real_mri_slice()
+        return im, im.shape[1:]
     rel, imsize = _DEN_FILES[img]
     if _exists(rel):
         img_np = I.load_image(os.path.join(data_root(), rel), imsize)
@@ -199,6 +223,9 @@ def get_img_inpainting(img: int):
 
 
 def get_img_ct(img: int):
+    if img == 9:   # addition: the vendored real MRI slice (see real_mri_slice)
+        im = real_mri_slice()
+        return im, im.shape[1:]
     if img == 0:
         try:
             from skimage.data import brain  # not in the baked image

@@ -1,0 +1,75 @@
+"""Measured accuracy rows on a REAL medical image (BASELINE.md 'measured
+here' column).
+
+Runs the den/mfvi and ct/mfvi test-config workloads on img=9 — the vendored
+real MRI head slice (data/real/s1045.ima.gz; see tasks/data.py::
+real_mri_slice) — and reports the reference's table metrics (PSNR/SSIM
+converged = mean over final 100 iters of the smoothed recon, early-stop =
+max, UCE calibration) via tasks/evaluation.py, exactly as the reference's
+eval notebooks compute them (eval_denoising.ipynb cells 4-9).
+
+The reference's own dataset images (chest X-rays, coronacases CT) are not
+redistributable (reference .gitignore:10), so its published rows cannot be
+reproduced bit-for-bit here; this anchors the same pipeline on real anatomy.
+
+Usage: python scripts/real_image_eval.py [--iters 30000] [--tasks den ct]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_one(task: str, iters: int, out_root: str) -> dict:
+    from mfvi_dip_mia_tpu.tasks.runners import run_task
+    from mfvi_dip_mia_tpu.tasks.evaluation import (summarize_run,
+                                                   calibration_from_run)
+
+    save_path = os.path.join(out_root, task)
+    hp = {"den": dict(temp=5.66e-7, sigma=1.46e-5),
+          "ct": dict(temp=2.2e-10, sigma=1.7e-7)}[task]
+    final = run_task(task, "mfvi", img=9, num_iter=iters, lr=1e-3, seed=1,
+                     show_every=500, metrics_every=10, chunk_iters=500,
+                     plot=False, save=True, save_path=save_path, **hp)
+    runs = sorted(pathlib.Path(save_path).iterdir())
+    npz = str(runs[-1] / "save.npz")
+    row = {"task": task, "img": 9, "iters": iters, "final_psnr": float(final)}
+    row.update(summarize_run(npz)["mfvi"])
+    try:
+        cal = calibration_from_run(npz)
+        if "mfvi" in cal:
+            row["uce"] = cal["mfvi"]["uce"]
+    except Exception as e:
+        row["uce_error"] = str(e)
+    return row
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30000)
+    ap.add_argument("--ct-iters", type=int, default=None,
+                    help="default: 2x --iters (reference CT budget ratio)")
+    ap.add_argument("--tasks", nargs="+", default=["den", "ct"])
+    ap.add_argument("--out", default="logs/real_image_eval")
+    args = ap.parse_args(argv)
+
+    from mfvi_dip_mia_tpu.utils.prng import configure
+    configure()
+
+    rows = []
+    for task in args.tasks:
+        iters = (args.ct_iters or 2 * args.iters) if task == "ct" \
+            else args.iters
+        rows.append(run_one(task, iters, args.out))
+        print(json.dumps(rows[-1]), flush=True)
+    with open(os.path.join(args.out, "rows.json"), "w") as f:
+        json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
