@@ -62,14 +62,17 @@ def main(argv=None):
                         help="metric-triple cadence (default: 1 for train, "
                              "10 for ct — the BO sweep setting)")
     parser.add_argument("--dtype", choices=["f32", "bf16"], default=None,
-                        help="compute dtype for the fit (default: the "
-                             "trainer default)")
+                        help="compute dtype for the fit (default: bf16 for "
+                             "the ct metric — the production sweep setting, "
+                             "convergence-validated vs f32; f32 otherwise)")
     parser.add_argument("--chunk", type=int, default=None,
-                        help="scan chunk length (chunk_iters); default "
+                        help="scan chunk length (chunk_iters); default: 500 "
+                             "for the ct metric (the sweep setting), else "
                              "show_every")
     parser.add_argument("--layout", choices=["nhwc", "auto"], default=None,
-                        help="U-Net compute layout ('auto' = channels-first "
-                             "high-res levels)")
+                        help="U-Net compute layout; default 'auto' = "
+                             "channels-first high-res levels (numerically "
+                             "equivalent, golden-tested in test_cf.py)")
     args = parser.parse_args(argv)
 
     import jax
@@ -93,13 +96,17 @@ def main(argv=None):
     show_every = 100
     import jax.numpy as jnp
     fit_kwargs = {}
-    if args.dtype == "bf16":
+    # production-sweep defaults for the north-star ct metric (override with
+    # --dtype f32 / --layout nhwc / --chunk 100 for the parity-default path)
+    dtype = args.dtype or ("bf16" if args.metric == "ct" else "f32")
+    layout = args.layout or "auto"
+    if dtype == "bf16":
         fit_kwargs["compute_dtype"] = jnp.bfloat16
-    if args.layout:
-        fit_kwargs["layout"] = args.layout
-    chunk = args.chunk or show_every
-    if args.chunk:
-        fit_kwargs["chunk_iters"] = args.chunk
+    fit_kwargs["layout"] = layout
+    chunk = args.chunk or (500 if args.metric == "ct" and not args.quick
+                           else show_every)
+    if chunk != show_every:
+        fit_kwargs["chunk_iters"] = chunk
     # align num_iter+1 (the trainer's ref-parity +1) to whole chunks: a
     # partial final chunk still EXECUTES its masked iterations, which would
     # silently deflate the measured it/s by up to chunk_size/num_iter

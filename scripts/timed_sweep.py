@@ -1,0 +1,157 @@
+"""Timed, scaled bo_mfvi_ct sweep — the north-star wall-clock artifact.
+
+Runs the REAL BO loop (configs/bo_mfvi_ct.json bounds/candidates, the exact
+GP + acquisition + fanout path ``bo()`` uses) at a scaled iteration budget on
+the available device(s), times every phase, and prints the extrapolation
+arithmetic to the full-scale sweep (20 rounds x 4 candidates x 100k iters on
+v5e-8, reference workload bayesian_optimization.py:3727-3887).
+
+Extrapolation model (documented in ROADMAP.md):
+  full_wall = 20 * (100_000 / single_fit_rate) + 20 * overhead_round
+On v5e-8 the 4 candidates spread one-per-chip, so a round's fanout wall is
+ONE fit and the per-fit rate is the SINGLE-fit rate — measured here
+directly with a dedicated 1-candidate fit after the sweep (the sweep's own
+fanout seconds are K-candidates-interleaved-on-one-chip aggregate numbers,
+which do NOT extrapolate to the spread-out case). overhead_round = GP fit +
+acquisition + problem build, measured per round.
+
+Usage:
+    python scripts/timed_sweep.py [--rounds 6] [--iters 2000] [--out DIR]
+                                  [--interleave|--no-interleave] [--spmd]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=6)
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--out", default="bo_results/mfvi_ct_timed")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--layout", default="auto", choices=["nhwc", "auto"])
+    ap.add_argument("--interleave", dest="interleave", action="store_true",
+                    default=True)
+    ap.add_argument("--no-interleave", dest="interleave",
+                    action="store_false")
+    ap.add_argument("--early-stop", action="store_true",
+                    help="opt-in early-stop variant (parity deviation)")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from mfvi_dip_mia_tpu.utils.prng import configure as configure_prng
+    configure_prng()
+
+    import mfvi_dip_mia_tpu.tasks.data as D
+    import mfvi_dip_mia_tpu.tasks.problems as P
+    from mfvi_dip_mia_tpu.bo.loop import bo
+    from mfvi_dip_mia_tpu.parallel import fanout
+    from mfvi_dip_mia_tpu.utils.config import load_config
+
+    size = args.size
+    P.D.get_img_ct = lambda img: (D.synthetic_ct(img, size), (size, size))
+
+    cfg = load_config("configs/bo_mfvi_ct.json")
+    bo_params = cfg["bo_params"]
+    run_params = dict(cfg["run_params"])
+    run_params.update(
+        num_iter=args.iters, show_every=500, metrics_every=10,
+        chunk_iters=500, plot=False, save=False,
+        bo_results_path=args.out, devices=None)
+    if args.early_stop:
+        run_params["early_stop"] = {"patience": max(args.iters // 4, 500),
+                                    "min_delta": 0.05}
+
+    os.makedirs(args.out, exist_ok=True)
+    phases = []
+
+    orig_rc = fanout.run_candidates
+
+    def timed_rc(task, bayes, candidates, rp, devices=None, runner=None,
+                 use_spmd=False, interleave="auto"):
+        t0 = time.perf_counter()
+        out = orig_rc(task, bayes, candidates, rp, devices, runner,
+                      use_spmd, "auto" if args.interleave else False)
+        phases.append({"phase": "fanout", "n_cand": len(candidates),
+                       "seconds": time.perf_counter() - t0})
+        return out
+
+    import mfvi_dip_mia_tpu.bo.loop as loop_mod
+    loop_mod.run_candidates = timed_rc
+
+    t_all = time.perf_counter()
+    X, Y = bo("ct", "mfvi", bo_params, run_params, n_rounds=args.rounds,
+              plot=False)
+    wall = time.perf_counter() - t_all
+
+    fan = [p["seconds"] for p in phases if p["phase"] == "fanout"]
+    n_cand = [p["n_cand"] for p in phases if p["phase"] == "fanout"]
+    overhead = wall - sum(fan)
+    per_round_overhead = overhead / max(len(fan), 1)
+    # steady-state per-round fanout (drop round 0: compile + cache warmup)
+    steady_rounds = fan[1:] or fan
+    steady_cands = n_cand[1:] or n_cand
+    sec_per_cand_iter = (sum(steady_rounds)
+                         / (sum(steady_cands) * (args.iters + 1)))
+    # one-chip aggregate rate over however many candidates ran concurrently
+    agg_rate = 1.0 / sec_per_cand_iter
+
+    # v5e-8 projection: 4 candidates spread one-per-chip -> each fit runs
+    # ALONE, so the round's fanout wall is ONE fit at the SINGLE-fit rate.
+    # agg_rate above is K-interleaved-on-one-chip aggregate throughput and
+    # does NOT extrapolate; measure the single-fit rate directly (compile
+    # already cached from the sweep).
+    from mfvi_dip_mia_tpu.tasks.trainer import Method, fit
+    import mfvi_dip_mia_tpu.tasks.runners as R
+    problem = R.build_problem("ct", "mfvi", run_params.get("img", 0),
+                              input_depth=run_params.get("input_depth", 16))
+    res1 = fit(problem, Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7),
+               num_iter=args.iters, lr=run_params.get("lr", 1e-3), seed=1,
+               show_every=500, metrics_every=10, chunk_iters=500,
+               collect_snapshots=False, layout=args.layout)
+    single_fit_rate = float(res1.iters_per_sec)
+
+    n_rounds_full, iters_full = 20, 100_000
+    proj = (n_rounds_full * (iters_full / single_fit_rate)
+            + n_rounds_full * per_round_overhead)
+
+    result = {
+        "measured": {
+            "rounds": args.rounds, "iters": args.iters,
+            "wall_seconds": wall,
+            "fanout_seconds": fan, "candidates_per_round": n_cand,
+            "per_round_overhead_s": per_round_overhead,
+            "aggregate_cand_iters_per_sec": agg_rate,
+            "single_fit_iters_per_sec": single_fit_rate,
+            "interleave": args.interleave,
+            "early_stop": args.early_stop,
+            "layout": args.layout,
+            "devices": [str(d) for d in jax.devices()],
+            "best_psnr": float(max(Y)) if Y else None,
+        },
+        "projection_v5e8": {
+            "model": "20 * (100k / single_fit_rate) + 20 * overhead "
+                     "(4 candidates spread 1-per-chip on 8 chips; round "
+                     "wall = one fit; single_fit_rate measured directly)",
+            "projected_wall_seconds": proj,
+            "projected_wall_hours": proj / 3600.0,
+        },
+    }
+    with open(os.path.join(args.out, "timing.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
