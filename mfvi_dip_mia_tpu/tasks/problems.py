@@ -14,7 +14,10 @@ encode the audited loss/transform matrix:
   sr   | mfvi,mcd,sgld | gaussian_nll on down(out)       (:2185)    | ch1 -> exp(-ch1)
   inp  | dip           | mse(sigmoid(out[:3])*m, gt*m)   (:2826)    | :3 -> sigmoid
   inp  | mfvi          | nll_masked(sigmoid(out[:3]), out[3:], gt, m)| :3 sigmoid, 3: exp(-)
-  inp  | mcd, sgld     | nll_masked(out[:3], out[3:], gt, m) (:3251)| 3: -> exp(-)  (no sigmoid — reference quirk)
+  inp  | mcd, sgld     | nll_masked(sigmoid(out[:3]), out[3:], gt, m)| :3 sigmoid, 3: exp(-)
+       (mcd :3249 / sgld :3464 sigmoid IN-PLACE via out[:, :3].sigmoid_() —
+        round-2 read this as "no sigmoid"; the round-3 oracle row caught it
+        at -7 dB and the in-place semantics are now replicated)
 
 Net configs (audited):
   ct/den/sr: 5-scale [16,32,64,128,128], skip 4, bilinear up, reflection pad,
@@ -88,11 +91,14 @@ class Problem:
             return losses.gaussian_nll(out_lr[..., :1], out_lr[..., 1:],
                                        self.target)
         if t == "inp":
+            # ALL four inp runners sigmoid the mean channels before the loss
+            # (dip :2824, mfvi :3034, mcd :3249, sgld :3464 — mcd/sgld via
+            # in-place out[:, :3].sigmoid_()); the logvar channel is never
+            # sigmoided (need_sigmoid=False on the net, :2998)
+            pred = jax.nn.sigmoid(out[..., :3])
             if m == "dip":
-                pred = jax.nn.sigmoid(out[..., :3])
                 return losses.mse_loss(pred * self.mask,
                                        self.target * self.mask)
-            pred = jax.nn.sigmoid(out[..., :3]) if m == "mfvi" else out[..., :3]
             return losses.gaussian_nll_masked(pred, out[..., 3:], self.target,
                                               self.mask)
         raise ValueError(self.task)
@@ -104,10 +110,9 @@ class Problem:
             return out
         if t in ("den", "sr"):
             return jnp.concatenate([out[..., :1], jnp.exp(-out[..., 1:])], -1)
-        # inp
-        mean = out[..., :3]
-        if m in ("dip", "mfvi"):
-            mean = jax.nn.sigmoid(mean)
+        # inp: the runners' in-place sigmoid means the EMA/metrics see
+        # sigmoided mean channels for every method (:2824,:3034,:3249,:3464)
+        mean = jax.nn.sigmoid(out[..., :3])
         ale = out[..., 3:]
         if m != "dip":
             ale = jnp.exp(-ale)

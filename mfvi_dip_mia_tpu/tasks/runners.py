@@ -254,13 +254,21 @@ def run_group_interleaved(task: str, method_name: str, candidates,
         chunk_iters=chunk_iters, device=dev, early_stop=early_stop)
 
     if plot or save:
-        for cand, res in zip(candidates, results):
-            out_dir = Path(save_path) / str(time.time())
+        for i, (cand, res) in enumerate(zip(candidates, results)):
+            # timestamp-named like run_task's artifact dirs, but suffixed:
+            # consecutive loop iterations can share a clock tick
+            out_dir = Path(save_path) / f"{time.time()}_{i}"
             out_dir.mkdir(parents=True, exist_ok=False)
             dump_locals(str(out_dir / "locals.txt"), dict(
                 task=task, bayes=method_name, img=img, num_iter=num_iter,
                 lr=lr, seed=seed, device=str(dev), interleaved=True,
                 **candidate_kwargs(method_name, cand)))
+            if save:
+                # same artifact schema as run_task's save.npz (minus the MC
+                # posterior-predictive summary — sweep-scale artifacts stay
+                # metric-only; run_task produces the full per-run artifact)
+                np.savez(str(out_dir / "save.npz"),
+                         **_npz_payload(task, problem, res, method_name))
             if plot:
                 viz.plot_loss(res.mse_corrupted, res.mse_gt, res.psnrs,
                               num_iter,

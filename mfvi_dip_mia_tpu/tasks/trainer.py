@@ -44,9 +44,22 @@ from .problems import Problem, reinit_conv_weights_normal
 def _enable_persistent_compile_cache():
     """Cache compiled executables on disk (~/.cache/mfvi_dip_mia_tpu): BO
     sweeps spawn many identical training graphs; first compile pays, the rest
-    load in milliseconds. No-op when the user already configured a cache."""
+    load in milliseconds. No-op when the user already configured a cache.
+
+    CPU backend: OFF by default (MFVI_DIP_CPU_CACHE=1 re-enables). XLA:CPU's
+    AOT loader warns its cached results "could lead to execution errors such
+    as SIGILL" under machine-feature mismatches, and loading cache entries
+    from fanout worker threads segfaulted reproducibly on this class of host;
+    in-process executable sharing (structural run-chunk keys) covers the
+    CPU use cases anyway."""
     import os
     if jax.config.jax_compilation_cache_dir:
+        return
+    try:
+        if (jax.default_backend() == "cpu"
+                and os.environ.get("MFVI_DIP_CPU_CACHE") != "1"):
+            return
+    except Exception:
         return
     path = os.path.join(os.path.expanduser("~"), ".cache",
                         "mfvi_dip_mia_tpu", "jax_cache")

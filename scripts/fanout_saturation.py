@@ -1,20 +1,19 @@
-"""Fanout dispatch-saturation check (VERDICT r2 item 9).
+"""Fanout dispatch-saturation measurement (ROADMAP follow-up).
 
-One Python process drives all fanout candidates from threads
-(parallel/fanout.py); per-chunk host work (np.asarray of metric rows)
-serializes on the GIL. This measures the aggregate cost: run K concurrent
-small fits through ``run_candidates`` on a K-virtual-device CPU mesh and
-compare wall time against the same K fits run sequentially on one device.
-On this single-core host the K virtual devices share one core, so the K
-concurrent fits and the K sequential fits do the SAME total compute on the
-same core: any excess of concurrent wall over sequential wall is pure
-threading/GIL/dispatch overhead — exactly the quantity in question
-(overhead_x = concurrent_wall / sequential_wall, ideal 1.0). On v5e-8 each
-fit has its own chip, so host-side dispatch contention is bounded above by
-the overhead measured here.
+One Python process drives every candidate thread in the fanout
+(parallel/fanout.py) — the concern is that per-chunk host work (np.asarray
+of metric rows, checkpoint writes) serializes on the GIL and starves the
+devices. This measures it on the 8-virtual-device CPU mesh: 8 concurrent
+small fits through ``run_candidates`` vs the same 8 fits run sequentially
+by one thread. On this 1-core host the devices share the core, so ideal
+concurrent aggregate throughput equals sequential aggregate throughput;
+any shortfall is pure threading/dispatch overhead (the quantity of
+interest), and a surplus means dispatch gaps are being hidden.
 
-Usage:
-    python scripts/fanout_saturation.py [--k 8] [--iters 200]
+Mirrors the reference's process-per-GPU fanout workload
+(bayesian_optimization.py:3756-3768) at test scale.
+
+Usage: python scripts/fanout_saturation.py [--iters 256] [--n 8]
 """
 from __future__ import annotations
 
@@ -24,58 +23,71 @@ import os
 import sys
 import time
 
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _shrink():
+    """Small net + 64^2 data so the workload compiles/runs in seconds."""
+    from mfvi_dip_mia_tpu.nn import build_skip_net
+    from mfvi_dip_mia_tpu.tasks import data as D, problems as P
+
+    def small_net(n_channels, method, dropout_p, input_depth=16):
+        kwargs = {}
+        if method == "mcd":
+            kwargs = dict(dropout_mode_down="2d", dropout_p_down=dropout_p,
+                          dropout_mode_up="2d", dropout_p_up=dropout_p)
+        return build_skip_net(input_depth, n_channels=n_channels,
+                              pad="reflection", skip_n33d=[8, 16],
+                              skip_n33u=[8, 16], skip_n11=4, num_scales=2,
+                              upsample_mode="bilinear", **kwargs)
+
+    P._standard_net = small_net
+    D.get_image_denoising = lambda img: (D.synthetic_xray(img, 64), (64, 64))
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--k", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=200)
-    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=256)
+    ap.add_argument("--n", type=int, default=8, help="candidate count")
     args = ap.parse_args(argv)
 
-    os.environ.setdefault("XLA_FLAGS",
-                          f"--xla_force_host_platform_device_count={args.k}")
+    _shrink()
     import jax
-    jax.config.update("jax_platforms", "cpu")
-
-    import mfvi_dip_mia_tpu.tasks.data as D
-    import mfvi_dip_mia_tpu.tasks.problems as P
     from mfvi_dip_mia_tpu.parallel.fanout import run_candidates
 
-    size = args.size
-    P.D.get_image_denoising = lambda img: (D.synthetic_xray(img, size),
-                                           (size, size))
+    n_dev = jax.device_count()
+    cands = [(4e-6 * (1 + 0.1 * i), 0.01 * (1 + 0.05 * i))
+             for i in range(args.n)]
+    rp = dict(num_iter=args.iters, lr=3e-4, seed=42, show_every=args.iters,
+              metrics_every=16, chunk_iters=64, plot=False, save=False,
+              input_depth=8)
 
-    cands = [(10.0 ** (-6 - 0.1 * i), 1e-3) for i in range(args.k)]
-    run_params = dict(img=0, num_iter=args.iters, lr=2e-3, seed=2,
-                      show_every=100, input_depth=8, plot=False, save=False)
+    # warm the executable (shared across all candidates — traced hypers)
+    run_candidates("den", "mfvi", cands[:1], rp)
 
-    devices = jax.devices()
-    assert len(devices) >= args.k, (len(devices), args.k)
-
-    # warmup/compile (also warms the persistent cache for both paths)
-    run_candidates("den", "mfvi", cands[:1], run_params, [devices[0]],
-                   interleave=False)
+    t0 = time.perf_counter()
+    kept, _ = run_candidates("den", "mfvi", cands, rp, interleave=False)
+    t_par = time.perf_counter() - t0
+    assert len(kept) == args.n, kept
 
     t0 = time.perf_counter()
     for c in cands:
-        run_candidates("den", "mfvi", [c], run_params, [devices[0]],
-                       interleave=False)
-    seq = time.perf_counter() - t0
+        k1, _ = run_candidates("den", "mfvi", [c], rp,
+                               devices=[jax.devices()[0]], interleave=False)
+        assert len(k1) == 1
+    t_seq = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    run_candidates("den", "mfvi", cands, run_params, devices[:args.k],
-                   interleave=False)
-    conc = time.perf_counter() - t0
-
+    total_iters = args.n * args.iters
     out = {
-        "k": args.k, "iters": args.iters, "size": size,
-        "sequential_wall_s": round(seq, 2),
-        "concurrent_wall_s": round(conc, 2),
-        "dispatch_overhead_x": round(conc / seq, 2),
-        "note": "same total compute on one core both ways; overhead_x > 1 "
-                "= threading/GIL/dispatch cost of the K-thread fanout",
+        "devices": n_dev, "host_cores": os.cpu_count(),
+        "candidates": args.n, "iters_each": args.iters,
+        "parallel_s": round(t_par, 3), "sequential_s": round(t_seq, 3),
+        "parallel_agg_it_s": round(total_iters / t_par, 1),
+        "sequential_agg_it_s": round(total_iters / t_seq, 1),
+        "overhead_pct": round(100.0 * (t_par - t_seq) / t_seq, 1),
     }
     print(json.dumps(out))
 
