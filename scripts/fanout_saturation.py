@@ -10,10 +10,22 @@ concurrent aggregate throughput equals sequential aggregate throughput;
 any shortfall is pure threading/dispatch overhead (the quantity of
 interest), and a surplus means dispatch gaps are being hidden.
 
+Two modes (the 8-virtual-device number conflates GIL cost with 8 XLA:CPU
+threadpools oversubscribing this 1-core host — sequential fits get the whole
+core, concurrent fits split it 8 ways with context-switch cost):
+
+* default: 8 threads -> 8 virtual devices vs 8 sequential fits. Upper bound;
+  oversubscription-dominated on a 1-core host.
+* --one-device: 8 threads ALL dispatching to device 0 vs the same 8 fits
+  sequential on device 0. Device work queues on the same single executor
+  both ways, so any excess wall is pure Python threading/GIL/dispatch cost —
+  the component that survives on v5e-8 where each fit owns a real chip.
+
 Mirrors the reference's process-per-GPU fanout workload
 (bayesian_optimization.py:3756-3768) at test scale.
 
 Usage: python scripts/fanout_saturation.py [--iters 256] [--n 8]
+                                           [--one-device]
 """
 from __future__ import annotations
 
@@ -24,9 +36,14 @@ import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+# sitecustomize pins JAX_PLATFORMS=axon before user code; only the config
+# update (not the env var) can force CPU at this point
+jax.config.update("jax_platforms", "cpu")
 
 
 def _shrink():
@@ -52,10 +69,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=256)
     ap.add_argument("--n", type=int, default=8, help="candidate count")
+    ap.add_argument("--one-device", action="store_true",
+                    help="all threads target device 0 (isolates GIL/dispatch "
+                         "cost from core oversubscription)")
     args = ap.parse_args(argv)
 
     _shrink()
-    import jax
     from mfvi_dip_mia_tpu.parallel.fanout import run_candidates
 
     n_dev = jax.device_count()
@@ -68,8 +87,11 @@ def main(argv=None):
     # warm the executable (shared across all candidates — traced hypers)
     run_candidates("den", "mfvi", cands[:1], rp)
 
+    par_devices = ([jax.devices()[0]] * args.n if args.one_device else None)
+
     t0 = time.perf_counter()
-    kept, _ = run_candidates("den", "mfvi", cands, rp, interleave=False)
+    kept, _ = run_candidates("den", "mfvi", cands, rp, devices=par_devices,
+                             interleave=False)
     t_par = time.perf_counter() - t0
     assert len(kept) == args.n, kept
 
@@ -82,6 +104,7 @@ def main(argv=None):
 
     total_iters = args.n * args.iters
     out = {
+        "mode": "one-device" if args.one_device else "per-device",
         "devices": n_dev, "host_cores": os.cpu_count(),
         "candidates": args.n, "iters_each": args.iters,
         "parallel_s": round(t_par, 3), "sequential_s": round(t_seq, 3),
