@@ -148,6 +148,14 @@ def main():
             "measured on this machine via tests/ref_oracle with the "
             "synthetic 256^2 image, warmup-corrected."),
         "machine_cpu_threads": torch.get_num_threads(),
+        "machine_cpu_cores": os.cpu_count(),
+        "thread_note": (
+            "torch.set_num_threads(os.cpu_count()) ran; threads == cores "
+            "on this host. The GPU estimate is FLOP-derived (not scaled "
+            "from the CPU rate), and the CPU rate only feeds the ct/den "
+            "RATIO, whose grid_sample-dominated cost is shared by "
+            "numerator and denominator — so thread count does not bias "
+            "the derived baselines."),
     }
     path = REPO / "BASELINE_MEASURED.json"
     path.write_text(json.dumps(out, indent=2) + "\n")
