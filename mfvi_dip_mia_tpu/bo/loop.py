@@ -27,6 +27,20 @@ from .normalize import normalize_X, unnormalize_X
 from ..parallel.fanout import run_candidates, TASK_ALIASES
 
 
+def _fanout_and_rank():
+    """Resolve (fanout_fn, is_main_process). Under ``jax.distributed``
+    (process_count > 1) candidates are partitioned across hosts and scores
+    allgathered over DCN (parallel/multihost.py); artifacts/prints then
+    happen on process 0 only. Single-host resolves the module-global
+    ``run_candidates`` at call time so tests/tools can monkeypatch it."""
+    import jax
+
+    if jax.process_count() > 1:
+        from ..parallel.multihost import run_candidates_multihost
+        return run_candidates_multihost, jax.process_index() == 0
+    return run_candidates, True
+
+
 def _grid(p1_logbounds, p2_logbounds, n=100):
     x1 = np.logspace(p1_logbounds[0], p1_logbounds[1], n)
     x2 = np.logspace(p2_logbounds[0], p2_logbounds[1], n)
@@ -63,12 +77,15 @@ def evaluate_candidates(task, bayes, bo_params, run_params, runner=None):
     names = list(bo_params.keys())
     candidates = list(itertools.product(
         *[v["candidates"] for v in bo_params.values()]))
-    kept_c, kept_y = run_candidates(task, bayes, candidates, run_params,
-                                    devices, runner=runner)
-    print()
-    print(f"{names[0]}      {names[1] if len(names) > 1 else ''}       psnr")
-    for c, y in zip(kept_c, kept_y):
-        print("  ".join(f"{v:.6f}" for v in c) + f"  {y:.6f}")
+    fanout_fn, is_main = _fanout_and_rank()
+    kept_c, kept_y = fanout_fn(task, bayes, candidates, run_params,
+                               devices, runner=runner)
+    if is_main:
+        print()
+        print(f"{names[0]}      {names[1] if len(names) > 1 else ''}"
+              "       psnr")
+        for c, y in zip(kept_c, kept_y):
+            print("  ".join(f"{v:.6f}" for v in c) + f"  {y:.6f}")
     return kept_c, kept_y
 
 
@@ -96,24 +113,30 @@ def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
     X, Y = [], []
     start_round = 0
 
+    fanout_fn, is_main = _fanout_and_rank()
+
     if resume:
         state = _load_resume_state(bo_out_path)
         if state is not None:
             X, Y = state["X"], state["Y"]
             candidates = state["candidates"]
             start_round = state["round"]
-            print(f"[bo] resuming from round {start_round} "
-                  f"({len(X)} observations)")
+            if is_main:
+                print(f"[bo] resuming from round {start_round} "
+                      f"({len(X)} observations)")
+        from ..parallel.multihost import check_resume_consistency
+        check_resume_consistency(start_round)
 
     names = list(bo_params.keys())
     for runs_num in range(start_round, n_rounds):
-        kept_c, kept_y = run_candidates(task, bayes, candidates, run_params,
-                                        devices, runner=runner,
-                                        use_spmd=use_spmd)
-        print()
-        print(f"{names[0]}      {names[1]}       psnr")
-        for c, y in zip(kept_c, kept_y):
-            print(f"{c[0]:.6f}  {c[1]:.6f}  {y:.6f}")
+        kept_c, kept_y = fanout_fn(task, bayes, candidates, run_params,
+                                   devices, runner=runner,
+                                   use_spmd=use_spmd)
+        if is_main:
+            print()
+            print(f"{names[0]}      {names[1]}       psnr")
+            for c, y in zip(kept_c, kept_y):
+                print(f"{c[0]:.6f}  {c[1]:.6f}  {y:.6f}")
 
         X += kept_c
         Y += kept_y
@@ -131,28 +154,30 @@ def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
         candidates = [tuple(row) for row in
                       unnormalize_X(cand_norm, p1_logbounds, p2_logbounds)]
 
-        pred_mean, pred_var = (np.asarray(a) for a in gp.predict(grid_norm))
-        confidence = 4.0 * np.sqrt(pred_var)  # gpytorch confidence_region width
+        if is_main:
+            pred_mean, pred_var = (np.asarray(a)
+                                   for a in gp.predict(grid_norm))
+            # gpytorch confidence_region width
+            confidence = 4.0 * np.sqrt(pred_var)
+            np.savez(
+                os.path.join(bo_out_path, f"{runs_num}_fig_data.npz"),
+                XX_lr=xx1, XX_wd=xx2,
+                pred=pred_mean.reshape(100, 100),
+                observed_X=np.asarray(X), observed_Y=np.asarray(Y),
+                expected_improvement=np.asarray(exp_imp),
+                confidence=confidence.reshape(100, 100),
+                acq=acq.reshape(100, 100),
+                candidates=np.asarray(candidates),
+            )
 
-        np.savez(
-            os.path.join(bo_out_path, f"{runs_num}_fig_data.npz"),
-            XX_lr=xx1, XX_wd=xx2,
-            pred=pred_mean.reshape(100, 100),
-            observed_X=np.asarray(X), observed_Y=np.asarray(Y),
-            expected_improvement=np.asarray(exp_imp),
-            confidence=confidence.reshape(100, 100),
-            acq=acq.reshape(100, 100),
-            candidates=np.asarray(candidates),
-        )
-
-        if plot:
-            _round_figures(bo_out_path, runs_num, xx1, xx2,
-                           pred_mean.reshape(100, 100),
-                           confidence.reshape(100, 100),
-                           acq.reshape(100, 100), np.asarray(X),
-                           np.asarray(candidates), exp_imp)
-        print(f"[bo] round {runs_num} done: best psnr so far "
-              f"{max(Y):.3f}; gp {gp.hyperparams}")
+            if plot:
+                _round_figures(bo_out_path, runs_num, xx1, xx2,
+                               pred_mean.reshape(100, 100),
+                               confidence.reshape(100, 100),
+                               acq.reshape(100, 100), np.asarray(X),
+                               np.asarray(candidates), exp_imp)
+            print(f"[bo] round {runs_num} done: best psnr so far "
+                  f"{max(Y):.3f}; gp {gp.hyperparams}")
 
     return X, Y
 

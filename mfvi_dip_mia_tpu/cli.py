@@ -26,7 +26,19 @@ def main(argv=None):
     parser.add_argument("--num-iter", type=int, default=None,
                         help="override run_params.num_iter (smoke runs)")
     parser.add_argument("--metrics-every", type=int, default=None)
+    parser.add_argument("--dist-coordinator", type=str, default=None,
+                        help="host0:port — launch the identical command on "
+                             "every host of a pod slice to fan BO candidates "
+                             "out over DCN (parallel/multihost.py)")
+    parser.add_argument("--dist-nproc", type=int, default=None)
+    parser.add_argument("--dist-pid", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.dist_coordinator is not None:
+        import jax
+        jax.distributed.initialize(coordinator_address=args.dist_coordinator,
+                                   num_processes=args.dist_nproc,
+                                   process_id=args.dist_pid)
 
     from .utils.prng import configure as configure_prng
     configure_prng()  # rbg on TPU (+4-7% end-to-end), threefry elsewhere

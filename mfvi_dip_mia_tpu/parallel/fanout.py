@@ -46,7 +46,7 @@ def candidate_kwargs(bayes: str, candidate) -> dict:
 
 
 def run_candidates_spmd(task: str, bayes: str, candidates: Sequence,
-                        run_params: dict):
+                        run_params: dict, keep_nan: bool = False):
     """SPMD alternative to the thread fanout: all candidates advance as ONE
     jit'd program sharded over a 'cand' mesh axis (parallel/sharding.py::
     run_sweep_spmd, which executes the exact production trainer step per
@@ -80,6 +80,10 @@ def run_candidates_spmd(task: str, bayes: str, candidates: Sequence,
     finals, _ = run_sweep_spmd(problem, methods, lr=lr, num_iter=num_iter,
                                seed=seed, **sweep_kw)
 
+    if keep_nan:
+        return ([tuple(np.asarray(c, np.float64)) for c in candidates],
+                [float(y) for y in finals])
+
     kept_c, kept_y = [], []
     for cand, y in zip(candidates, finals):
         if np.isfinite(y):
@@ -93,9 +97,14 @@ def run_candidates_spmd(task: str, bayes: str, candidates: Sequence,
 
 def run_candidates(task: str, bayes: str, candidates: Sequence,
                    run_params: dict, devices=None, runner=None,
-                   use_spmd: bool = False, interleave: str | bool = "auto"):
+                   use_spmd: bool = False, interleave: str | bool = "auto",
+                   keep_nan: bool = False):
     """Evaluate every candidate concurrently; returns
     (kept_candidates, kept_scores) with NaN/crashed candidates dropped.
+    ``keep_nan=True`` skips the filter and returns a score for EVERY input
+    candidate (NaN for diverged/crashed) — the multi-host fanout needs the
+    raw positional results to map scores back to global candidate indices
+    (parallel/multihost.py).
 
     ``devices``: list of jax.Device / "tpu:0"-style strings / None for all
     local devices. ``runner`` overrides the runner callable (tests).
@@ -114,7 +123,8 @@ def run_candidates(task: str, bayes: str, candidates: Sequence,
     from ..utils.compile_guard import serialize_compiles
 
     if use_spmd and runner is None:
-        return run_candidates_spmd(task, bayes, candidates, run_params)
+        return run_candidates_spmd(task, bayes, candidates, run_params,
+                                   keep_nan=keep_nan)
 
     # concurrent cold compiles from fanout threads crash the CPU backend
     # (see utils/compile_guard.py); execution stays fully concurrent
@@ -183,6 +193,10 @@ def run_candidates(task: str, bayes: str, candidates: Sequence,
             threads.append(t)
         for t in threads:
             t.join()
+
+    if keep_nan:
+        return ([tuple(np.asarray(c, np.float64)) for c in candidates],
+                [float("nan") if y is None else float(y) for y in results])
 
     kept_c, kept_y = [], []
     for cand, y in zip(candidates, results):
