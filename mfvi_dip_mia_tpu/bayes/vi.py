@@ -81,6 +81,51 @@ def posterior_mean_params(params):
     return _map_conv_leaves(params, collapse, jax.random.PRNGKey(0))
 
 
+def sample_mfvi_tree(params, key):
+    """One fused RT draw for the WHOLE parameter tree.
+
+    Replaces every variational leaf with a sampled deterministic leaf
+    ``{'w': mu + softplus(rho) * eps, 'b': ...}`` so ``apply()`` runs its
+    deterministic conv path. Collapses the per-site sampling chains
+    (split + normal + softplus + mul + add, ~2 x n_sites tiny loop fusions
+    inside the scanned training step — the HLO cycle profile that motivated
+    ``optax.flatten``, see tasks/trainer.py::_build_optimizer) into ONE
+    normal draw and ONE elementwise fusion over the concatenated parameter
+    vector, plus free reshape/slice views back to leaf shapes.
+
+    Marginally identical to per-site RT sampling (BayTorch/modules/
+    reparam_layers.py:26-37 — every element is mu + softplus(rho) * eps with
+    iid standard-normal eps); only the PRNG stream *assignment* differs from
+    apply()'s per-site kw/kb stream, which no reference semantics depend on
+    (torch's global RNG stream differs run-to-run anyway).
+    Non-variational trees pass through unchanged.
+    """
+    pairs = _collect_variational(params)
+    if not pairs:
+        return params
+    sizes = [m.size for m, _ in pairs]
+    mu = jnp.concatenate([m.reshape(-1) for m, _ in pairs])
+    rho = jnp.concatenate([r.reshape(-1) for _, r in pairs])
+    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    flat = mu + jax.nn.softplus(rho) * eps
+
+    offs = [0]
+    for s in sizes:
+        offs.append(offs[-1] + s)
+    chunks = iter(jax.lax.slice(flat, (offs[i],), (offs[i + 1],))
+                  for i in range(len(sizes)))
+
+    def transform(leaf, _k):
+        if not is_variational_leaf(leaf):
+            return leaf
+        out = {"w": next(chunks).reshape(leaf["w_mu"].shape)}
+        out["b"] = (next(chunks).reshape(leaf["b_mu"].shape)
+                    if leaf.get("b_mu") is not None else None)
+        return out
+
+    return _map_conv_leaves(params, transform, jax.random.PRNGKey(0))
+
+
 # ---------------------------------------------------------------------------
 # KL divergence (closed form Normal-Normal, tree-reduced)
 # ---------------------------------------------------------------------------

@@ -189,6 +189,11 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
     is_mfvi = method_name == "mfvi"
     is_sgld = method_name == "sgld"
     is_mcd = method_name == "mcd"
+    # one fused whole-tree RT draw instead of per-site sampling chains
+    # (bayes/vi.py::sample_mfvi_tree); A/B gate MFVI_DIP_FLAT_SAMPLE=0.
+    # RT only — LRT samples in activation space and cannot pre-sample.
+    flat_sample = (is_mfvi and reparam == "rt"
+                   and os.environ.get("MFVI_DIP_FLAT_SAMPLE", "1") != "0")
 
     def step(state: TrainState, it):
         key_it = jax.random.fold_in(base_key, it)
@@ -216,6 +221,8 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
                 x_c = x.astype(compute_dtype)
             else:
                 p_c, x_c = p, x
+            if flat_sample:
+                p_c = vi.sample_mfvi_tree(p_c, k_net)
             out = net.apply(p_c, x_c, key=k_net, training=True,
                             reparam=reparam,
                             dropout_p=hp.dropout_p if is_mcd else None,
@@ -340,6 +347,10 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     per_net = _net_cache(problem.net)
     cache_key = (problem.task, method_name, reparam, str(compute_dtype),
                  layout,
+                 # trace-time env gates baked into the executable (A/B runs
+                 # flip them between fits in one process)
+                 os.environ.get("MFVI_DIP_FLAT_SAMPLE", "1"),
+                 os.environ.get("MFVI_DIP_FUSED_BLOCK", "1"),
                  problem.gt.shape, problem.target.shape,
                  None if problem.mask is None else problem.mask.shape,
                  # op_state may be any pytree (dense matrix, banded blocks...)

@@ -211,3 +211,50 @@ def test_trainer_accepts_mixture_prior():
     res = fit(problem, m, num_iter=30, lr=1e-3, seed=0, show_every=30)
     assert np.isfinite(res.psnrs[:, 0]).all()
     assert np.isfinite(res.final_psnr)
+
+
+def test_sample_mfvi_tree_structure_and_determinism():
+    p = vi.to_mfvi(small_params(), jax.random.PRNGKey(0))
+    s1 = vi.sample_mfvi_tree(p, jax.random.PRNGKey(7))
+    s2 = vi.sample_mfvi_tree(p, jax.random.PRNGKey(7))
+    s3 = vi.sample_mfvi_tree(p, jax.random.PRNGKey(8))
+    leaf = s1["a"]["conv"]
+    assert set(leaf) == {"w", "b"}
+    assert leaf["w"].shape == (3, 3, 2, 4)
+    assert leaf["b"].shape == (4,)
+    # bias=None conv stays bias-free; bn passes through untouched
+    assert s1["b"][0]["b"] is None
+    assert s1["a"]["bn"]["scale"] is p["a"]["bn"]["scale"]
+    # same key -> identical draw; different key -> different draw
+    np.testing.assert_array_equal(np.asarray(leaf["w"]),
+                                  np.asarray(s2["a"]["conv"]["w"]))
+    assert not np.allclose(np.asarray(leaf["w"]),
+                           np.asarray(s3["a"]["conv"]["w"]))
+    # deterministic trees pass through unchanged
+    q = small_params()
+    assert vi.sample_mfvi_tree(q, jax.random.PRNGKey(0)) is q
+
+
+def test_sample_mfvi_tree_matches_per_site_marginals():
+    """Every element must be mu + softplus(rho) * eps with eps ~ N(0,1) iid —
+    the RT marginal (BayTorch reparam_layers.py:26-37). Reconstruct eps from
+    many draws and check its moments, per leaf and pooled."""
+    p = vi.to_mfvi(small_params(), jax.random.PRNGKey(3))
+    n = 2000
+    eps_all = []
+    for leaf_path in (("a", "conv"), ):
+        mu = np.asarray(p["a"]["conv"]["w_mu"]).ravel()
+        sig = np.asarray(jax.nn.softplus(p["a"]["conv"]["w_rho"])).ravel()
+        draws = np.stack([
+            np.asarray(vi.sample_mfvi_tree(
+                p, jax.random.PRNGKey(i))["a"]["conv"]["w"]).ravel()
+            for i in range(n)])
+        eps = (draws - mu) / sig
+        eps_all.append(eps.ravel())
+    eps = np.concatenate(eps_all)
+    assert abs(eps.mean()) < 0.01
+    assert abs(eps.std() - 1.0) < 0.01
+    # independence across elements within one draw: off-diagonal correlation
+    # of the first draw's eps vector against the second element stream
+    c = np.corrcoef(eps.reshape(n, -1)[:, 0], eps.reshape(n, -1)[:, 1])[0, 1]
+    assert abs(c) < 0.08
