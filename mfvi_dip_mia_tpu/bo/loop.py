@@ -92,12 +92,14 @@ def evaluate_candidates(task, bayes, bo_params, run_params, runner=None):
 def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
        n_rounds: int = 20, acq_fn: str = "ei", plot: bool = True,
        resume: bool = False, runner=None, gp_iters: int = 2000,
-       use_spmd: bool = False):
+       use_spmd: bool = False, sp_split: int | bool = False):
     """Run the full BO sweep. Returns (X, Y) of all observations.
 
     ``use_spmd=True`` evaluates each round's candidates as one SPMD program
     sharded over a 'cand' mesh axis (parallel/sharding.py::run_sweep_spmd)
-    instead of thread-per-candidate dispatch."""
+    instead of thread-per-candidate dispatch. ``sp_split`` (opt-in) lets
+    rounds with fewer candidates than devices spatially shard each fit over
+    the spare chips (fanout.run_candidates sp_split semantics)."""
     task = TASK_ALIASES[task]
     run_params = dict(run_params)
     bo_out_path = run_params.pop("bo_results_path")
@@ -131,7 +133,7 @@ def bo(task: str, bayes: str, bo_params: dict, run_params: dict,
     for runs_num in range(start_round, n_rounds):
         kept_c, kept_y = fanout_fn(task, bayes, candidates, run_params,
                                    devices, runner=runner,
-                                   use_spmd=use_spmd)
+                                   use_spmd=use_spmd, sp_split=sp_split)
         if is_main:
             print()
             print(f"{names[0]}      {names[1]}       psnr")

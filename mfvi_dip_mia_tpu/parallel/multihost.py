@@ -35,7 +35,8 @@ from .fanout import run_candidates
 def run_candidates_multihost(task: str, bayes: str, candidates: Sequence,
                              run_params: dict, devices=None, runner=None,
                              use_spmd: bool = False,
-                             interleave: str | bool = "auto"):
+                             interleave: str | bool = "auto",
+                             sp_split: int | bool = False):
     """Evaluate ``candidates`` across every JAX process; every host returns
     the IDENTICAL (kept_candidates, kept_scores) in original candidate
     order, with NaN/crashed candidates dropped — a drop-in replacement for
@@ -50,7 +51,7 @@ def run_candidates_multihost(task: str, bayes: str, candidates: Sequence,
     nproc = jax.process_count()
     if nproc == 1:
         return run_candidates(task, bayes, candidates, run_params, devices,
-                              runner, use_spmd, interleave)
+                              runner, use_spmd, interleave, sp_split)
     pid = jax.process_index()
     if devices is None:
         devices = jax.local_devices()
@@ -58,7 +59,7 @@ def run_candidates_multihost(task: str, bayes: str, candidates: Sequence,
     mine_idx = list(range(pid, len(candidates), nproc))
     mine = [candidates[i] for i in mine_idx]
     _, raw = run_candidates(task, bayes, mine, run_params, devices, runner,
-                            use_spmd, interleave, keep_nan=True)
+                            use_spmd, interleave, sp_split, keep_nan=True)
 
     # fixed-size slots so every host contributes the same shapes to the
     # allgather; index -1 marks an empty slot

@@ -230,3 +230,24 @@ def test_flat_sample_ab(small_nets, monkeypatch):
                                                 abs=1e-9)
     # and statistically interchangeable at this scale
     assert abs(res_flat.final_psnr - res_site.final_psnr) < 2.0
+
+
+def test_fanout_sp_split_matches_plain(small_nets):
+    """Undersubscribed fanout: sp_split gives each candidate a multi-device
+    'sp' sub-mesh; scores must match the per-device fanout up to the sharded
+    reduction-order drift (test_sp_fit_matches_unsharded measured ~0.02 dB)."""
+    import jax
+    from mfvi_dip_mia_tpu.parallel.fanout import run_candidates
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh")
+
+    run_params = dict(img=0, num_iter=40, lr=2e-3, seed=2, show_every=20,
+                      input_depth=8, plot=False, save=False)
+    cands = [(1e-6, 1e-3), (1e-4, 1e-2)]
+    kept_sp, y_sp = run_candidates("den", "mfvi", cands, run_params,
+                                   jax.devices(), sp_split=True)   # k = 4
+    kept_p, y_p = run_candidates("den", "mfvi", cands, run_params,
+                                 [jax.devices()[0]], interleave=False)
+    assert kept_sp == kept_p
+    np.testing.assert_allclose(y_sp, y_p, atol=0.1)
