@@ -63,11 +63,13 @@ def main(argv=None):
     P.D.get_img_ct = lambda img: (D.synthetic_ct(img, size), (size, size))
 
     cfg = load_config("configs/bo_mfvi_ct.json")
-    bo_params = cfg["bo_params"]
-    run_params = dict(cfg["run_params"])
+    bo_params = {k: {"logbounds": v.logbounds, "candidates": v.candidates}
+                 for k, v in cfg.bo_params.items()}
+    run_params = dict(cfg.run_params)
+    chunk = min(500, args.iters)  # sweep setting, bounded for tiny smokes
     run_params.update(
-        num_iter=args.iters, show_every=500, metrics_every=10,
-        chunk_iters=500, plot=False, save=False,
+        num_iter=args.iters, show_every=chunk, metrics_every=10,
+        chunk_iters=chunk, plot=False, save=False,
         bo_results_path=args.out, devices=None)
     if args.early_stop:
         run_params["early_stop"] = {"patience": max(args.iters // 4, 500),
@@ -79,10 +81,10 @@ def main(argv=None):
     orig_rc = fanout.run_candidates
 
     def timed_rc(task, bayes, candidates, rp, devices=None, runner=None,
-                 use_spmd=False, interleave="auto"):
+                 use_spmd=False, interleave="auto", **kw):
         t0 = time.perf_counter()
         out = orig_rc(task, bayes, candidates, rp, devices, runner,
-                      use_spmd, "auto" if args.interleave else False)
+                      use_spmd, "auto" if args.interleave else False, **kw)
         phases.append({"phase": "fanout", "n_cand": len(candidates),
                        "seconds": time.perf_counter() - t0})
         return out
@@ -118,7 +120,7 @@ def main(argv=None):
                               input_depth=run_params.get("input_depth", 16))
     res1 = fit(problem, Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7),
                num_iter=args.iters, lr=run_params.get("lr", 1e-3), seed=1,
-               show_every=500, metrics_every=10, chunk_iters=500,
+               show_every=chunk, metrics_every=10, chunk_iters=chunk,
                collect_snapshots=False, layout=args.layout)
     single_fit_rate = float(res1.iters_per_sec)
 
