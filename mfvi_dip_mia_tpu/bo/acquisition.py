@@ -23,9 +23,11 @@ import numpy as np
 from scipy import ndimage
 from scipy.optimize import minimize
 
+from .gp import _on_host
+
 
 def expected_improvement(gp, x_query, x_train):
-    with jax.enable_x64():
+    with jax.enable_x64(), _on_host():
         mu, var = gp.predict(x_query)
         sigma = jnp.sqrt(jnp.maximum(var, 1e-9))
         mu_train, _ = gp.predict(x_train)
@@ -38,7 +40,7 @@ def expected_improvement(gp, x_query, x_train):
 
 
 def upper_confidence_bound(gp, x_query, kappa: float = 2.0):
-    with jax.enable_x64():
+    with jax.enable_x64(), _on_host():
         mu, var = gp.predict(x_query)
         return mu + kappa * jnp.sqrt(var)
 
@@ -78,7 +80,7 @@ def find_candidates(gp, x_grid, x_train, acq_fn: str = "ei",
 
     Returns (candidates [k, 2] in [0,1]^2 normalized space,
              expected improvements [k], acq surface flattened)."""
-    with jax.enable_x64():
+    with jax.enable_x64(), _on_host():
         x_grid64 = jnp.asarray(np.asarray(x_grid), jnp.float64)
         x_train64 = jnp.asarray(np.asarray(x_train), jnp.float64)
         acq = np.asarray(acquisition_fun(gp, x_grid64, x_train64, acq_fn))

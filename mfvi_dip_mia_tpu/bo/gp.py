@@ -29,6 +29,41 @@ _LOG_2PI = float(np.log(2.0 * np.pi))
 JITTER = 1e-8
 
 
+def host_cpu():
+    """The host CPU device for GP/acquisition compute.
+
+    The GP is a tiny f64 problem (n <= ~100 observations): on the remote
+    TPU relay every one of its thousands of eager dispatches is an HTTP
+    round-trip (measured 146 s for one train_gp + 58 s per find_candidates
+    per BO round — dwarfing the actual fits), and TPUs have no native f64
+    anyway. Pinning to the host CPU backend makes it milliseconds and keeps
+    the gpytorch-parity float64 semantics exact. Returns None when no CPU
+    device exists (then placement is left to the default backend)."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class _on_host:
+    """Context: jax.default_device(host_cpu()) when available, else no-op."""
+
+    def __init__(self):
+        self._cm = None
+
+    def __enter__(self):
+        dev = host_cpu()
+        if dev is not None:
+            self._cm = jax.default_device(dev)
+            self._cm.__enter__()
+        return self
+
+    def __exit__(self, *exc):
+        if self._cm is not None:
+            return self._cm.__exit__(*exc)
+        return False
+
+
 class GPParams(NamedTuple):
     raw_lengthscale: jnp.ndarray
     raw_outputscale: jnp.ndarray
@@ -99,8 +134,8 @@ class ExactGP:
     def predict(self, x_query):
         """Latent-f posterior (no observation noise), matching the
         reference's use of gp(X) in eval mode. Accepts numpy or jnp input;
-        runs in float64."""
-        with jax.enable_x64():
+        runs in float64 on the host CPU (see host_cpu)."""
+        with jax.enable_x64(), _on_host():
             if isinstance(x_query, jax.Array):  # incl. tracers (jit-safe)
                 x_query = x_query.astype(jnp.float64)
             else:
@@ -130,8 +165,13 @@ class ExactGP:
 
 def train_gp(x_train, y_train, iter_max: int = 2000, lr: float = 0.05,
              verbose: bool = False) -> ExactGP:
-    """Fit hyperparameters by Adam on the exact MLL (reference recipe)."""
-    with jax.enable_x64():
+    """Fit hyperparameters by Adam on the exact MLL (reference recipe).
+
+    The whole Adam loop runs as ONE jitted lax.scan dispatch on the host
+    CPU (see host_cpu): identical update sequence to the eager loop, but
+    no per-step dispatch (the verbose path keeps the eager loop for its
+    per-iteration prints)."""
+    with jax.enable_x64(), _on_host():
         x = jnp.asarray(np.asarray(x_train), jnp.float64)
         y = jnp.asarray(np.asarray(y_train), jnp.float64)
 
@@ -144,20 +184,24 @@ def train_gp(x_train, y_train, iter_max: int = 2000, lr: float = 0.05,
         opt = optax.adam(lr)
         opt_state = opt.init(p)
 
-        loss_grad = jax.jit(jax.value_and_grad(_neg_mll))
-
-        @jax.jit
-        def step(p, opt_state):
+        def step(carry, _):
+            p, opt_state = carry
             loss, g = jax.value_and_grad(_neg_mll)(p, x, y)
             updates, opt_state = opt.update(g, opt_state)
-            return optax.apply_updates(p, updates), opt_state, loss
+            return (optax.apply_updates(p, updates), opt_state), loss
 
-        for i in range(iter_max):
-            p, opt_state, loss = step(p, opt_state)
-            if verbose and i % 100 == 0:
-                print(f"GP iter {i + 1:4d}/{iter_max} - loss {float(loss):.4f} "
-                      f"lengthscale {float(lengthscale(p)):.3f} "
-                      f"noise {float(noise(p)):.4f}")
+        if verbose:
+            for i in range(iter_max):
+                (p, opt_state), loss = step((p, opt_state), None)
+                if i % 100 == 0:
+                    print(f"GP iter {i + 1:4d}/{iter_max} - "
+                          f"loss {float(loss):.4f} "
+                          f"lengthscale {float(lengthscale(p)):.3f} "
+                          f"noise {float(noise(p)):.4f}")
+        else:
+            scan = jax.jit(lambda c: jax.lax.scan(step, c, None,
+                                                  length=iter_max)[0])
+            p, opt_state = scan((p, opt_state))
 
         n = x.shape[0]
         k = _kernel(p, x, x) + (noise(p) + JITTER) * jnp.eye(n, dtype=jnp.float64)

@@ -280,7 +280,8 @@ def build_spmd_chunk(problem, method_name: str, mesh: Mesh, *,
 
     from ..tasks import trainer as T
 
-    compute_dtype = compute_dtype or jnp.float32
+    from ..tasks.trainer import resolve_compute_dtype
+    compute_dtype = resolve_compute_dtype(compute_dtype)
     optimizer = T._build_optimizer(T.Method(name=method_name), 1e-3)
 
     def one(state, hp, its, n_iter, show_ev, data):

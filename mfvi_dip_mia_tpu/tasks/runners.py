@@ -88,8 +88,14 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
              seed: int = 42, show_every: int = 100, plot: bool = True,
              save: bool = True, save_path: str = "./logs",
              log_every_chunk: bool = False, metrics_every: int = 1,
-             chunk_iters=None, early_stop=None, **kwargs) -> float:
-    """Generic runner; the 16 named wrappers below pin (task, method)."""
+             chunk_iters=None, early_stop=None, compute_dtype=None,
+             layout: str = "nhwc", **kwargs) -> float:
+    """Generic runner; the 16 named wrappers below pin (task, method).
+
+    ``compute_dtype`` ('f32'/'bf16' or a jnp dtype; default f32) and
+    ``layout`` ('nhwc'/'auto') are the trainer's perf knobs, threaded from
+    run_params so BO sweeps can run the production bf16 + channels-first
+    compute path (convergence-validated; see ROADMAP.md)."""
     from ..utils import viz
 
     # Reference quirk (replicated): the CT mcd/sgld runners zero weight_decay
@@ -152,6 +158,7 @@ def run_task(task: str, method_name: str, *, img: int = 0, num_iter: int = 5000,
     res = fit(problem, method, num_iter=num_iter, lr=lr, seed=seed,
               show_every=show_every, rng=rng, device=dev,
               metrics_every=metrics_every, chunk_iters=chunk_iters,
+              compute_dtype=compute_dtype, layout=layout,
               collect_snapshots=(plot or save), early_stop=early_stop,
               log_fn=log_fn if log_every_chunk else None,
               snapshot_fn=snapshot_fn if plot else None)
@@ -209,6 +216,7 @@ def run_group_interleaved(task: str, method_name: str, candidates,
                           input_depth: int = 16, seed: int = 42,
                           show_every: int = 100, metrics_every: int = 1,
                           chunk_iters=None, early_stop=None,
+                          compute_dtype=None, layout: str = "nhwc",
                           plot: bool = False, save: bool = False,
                           save_path: str = "./logs", index: int = 0,
                           **kwargs) -> list:
@@ -251,7 +259,8 @@ def run_group_interleaved(task: str, method_name: str, candidates,
     results = fit_interleaved(
         problem, methods, num_iter=num_iter, lr=lr, seed=seed, rngs=rngs,
         show_every=show_every, metrics_every=metrics_every,
-        chunk_iters=chunk_iters, device=dev, early_stop=early_stop)
+        chunk_iters=chunk_iters, device=dev, early_stop=early_stop,
+        compute_dtype=compute_dtype, layout=layout)
 
     if plot or save:
         for i, (cand, res) in enumerate(zip(candidates, results)):

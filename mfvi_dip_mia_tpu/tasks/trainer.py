@@ -514,6 +514,21 @@ class _EarlyStop:
         return (start + len(col) - 1 - self.best_iter) >= self.patience
 
 
+def resolve_compute_dtype(dtype):
+    """Accept 'f32'/'bf16' strings (the config / run_params spelling) or jnp
+    dtypes for the trainer's ``compute_dtype`` knob. None -> float32."""
+    if dtype is None:
+        return jnp.float32
+    if isinstance(dtype, str):
+        names = {"f32": jnp.float32, "float32": jnp.float32,
+                 "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}
+        if dtype not in names:
+            raise ValueError(f"unknown compute_dtype {dtype!r} "
+                             f"(expected one of {sorted(names)})")
+        return names[dtype]
+    return dtype
+
+
 def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         seed: int = 42, show_every: int = 100,
         log_fn: Optional[Callable] = None,
@@ -548,6 +563,7 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     """
     _enable_persistent_compile_cache()
 
+    compute_dtype = resolve_compute_dtype(compute_dtype)
     num_iter = num_iter + 1  # ref :306
     h, w = problem.imsize
     mc = problem.mean_ch
@@ -705,6 +721,7 @@ def fit_interleaved(problem: Problem, methods, *, num_iter: int, lr: float,
     """
     _enable_persistent_compile_cache()
 
+    compute_dtype = resolve_compute_dtype(compute_dtype)
     assert len({m.name for m in methods}) == 1, \
         "interleaved fits must share a method (one compiled executable)"
     num_iter = num_iter + 1  # ref :306

@@ -70,6 +70,7 @@ def main(argv=None):
     run_params.update(
         num_iter=args.iters, show_every=chunk, metrics_every=10,
         chunk_iters=chunk, plot=False, save=False,
+        compute_dtype="bf16", layout=args.layout,
         bo_results_path=args.out, devices=None)
     if args.early_stop:
         run_params["early_stop"] = {"patience": max(args.iters // 4, 500),
@@ -91,6 +92,27 @@ def main(argv=None):
 
     import mfvi_dip_mia_tpu.bo.loop as loop_mod
     loop_mod.run_candidates = timed_rc
+
+    # per-round host-side overhead breakdown (GP fit + acquisition): these
+    # run pinned to the host CPU (bo/gp.py::host_cpu) — on the remote TPU
+    # relay the eager per-step dispatch alternative measured 146 s/train_gp
+    orig_train_gp = loop_mod.train_gp
+    orig_fc = loop_mod.find_candidates
+
+    def timed_train_gp(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_train_gp(*a, **kw)
+        phases.append({"phase": "gp", "seconds": time.perf_counter() - t0})
+        return out
+
+    def timed_fc(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_fc(*a, **kw)
+        phases.append({"phase": "acq", "seconds": time.perf_counter() - t0})
+        return out
+
+    loop_mod.train_gp = timed_train_gp
+    loop_mod.find_candidates = timed_fc
 
     t_all = time.perf_counter()
     X, Y = bo("ct", "mfvi", bo_params, run_params, n_rounds=args.rounds,
@@ -121,7 +143,8 @@ def main(argv=None):
     res1 = fit(problem, Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7),
                num_iter=args.iters, lr=run_params.get("lr", 1e-3), seed=1,
                show_every=chunk, metrics_every=10, chunk_iters=chunk,
-               collect_snapshots=False, layout=args.layout)
+               collect_snapshots=False, layout=args.layout,
+               compute_dtype="bf16")
     single_fit_rate = float(res1.iters_per_sec)
 
     n_rounds_full, iters_full = 20, 100_000
@@ -134,6 +157,10 @@ def main(argv=None):
             "wall_seconds": wall,
             "fanout_seconds": fan, "candidates_per_round": n_cand,
             "per_round_overhead_s": per_round_overhead,
+            "gp_seconds": [p["seconds"] for p in phases
+                           if p["phase"] == "gp"],
+            "acq_seconds": [p["seconds"] for p in phases
+                            if p["phase"] == "acq"],
             "aggregate_cand_iters_per_sec": agg_rate,
             "single_fit_iters_per_sec": single_fit_rate,
             "interleave": args.interleave,
