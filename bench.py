@@ -92,7 +92,10 @@ def main(argv=None):
                                            (size, size))
     P.D.get_img_ct = lambda img: (D.synthetic_ct(img, size), (size, size))
 
-    num_iter = args.iters or (100 if args.quick else 600)
+    # the first (compile/warmup) chunk is excluded from the steady-state
+    # rate, so the run must span several chunks: 3000 = 6 x 500 (full),
+    # 300 = 3 x 100 (quick)
+    num_iter = args.iters or (300 if args.quick else 3000)
     show_every = 100
     import jax.numpy as jnp
     fit_kwargs = {}
@@ -118,7 +121,8 @@ def main(argv=None):
         problem = build_problem("ct", "mfvi", 0, input_depth=16)
         method = Method(name="mfvi", temp=2.2e-10, sigma=1.7e-7)
         res = fit(problem, method, num_iter=num_iter, lr=1e-3, seed=1,
-                  show_every=show_every, collect_snapshots=False,
+                  show_every=chunk,  # sweep setting (scripts/timed_sweep.py)
+                  collect_snapshots=False,
                   metrics_every=args.metrics_every or 10, **fit_kwargs)
         value = float(res.iters_per_sec)
         base, base_src = baseline_iters_per_sec("ct")

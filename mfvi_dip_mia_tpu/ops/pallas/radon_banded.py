@@ -40,10 +40,42 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH = 32            # image patch side
-JWIN = 64             # sinogram row window per (angle, patch) block
-TCHUNK = 12           # angles fused per grid step (amortize per-step cost)
-PP = PATCH * PATCH    # pixels per patch
+import os
+
+PATCH = int(os.environ.get("MFVI_DIP_RADON_PATCH", "32"))  # image patch side
+JWIN = 64             # legacy default window; see auto_jwin
+TCHUNK = 12           # legacy default angle fusion; see auto_tchunk
+PP = PATCH * PATCH    # pixels per patch (default geometry)
+
+
+def auto_jwin(patch: int) -> int:
+    """Tightest 8-aligned sinogram window covering a patch's projection.
+
+    A patch diagonal spans (patch-1)*(|cos|+|sin|) <= (patch-1)*sqrt(2)
+    sinogram bins, the bilinear footprint adds <3, and the 8-aligned window
+    start (dynamic sublane stores want 8-aligned offsets) adds up to 7 of
+    slack. The band tensor's bytes — the operator's HBM floor — scale
+    linearly with this: patch 32 -> 56 (was a hardcoded 64), patch 16 -> 32
+    (half the bytes of the 32/64 geometry)."""
+    need = int(np.ceil((patch - 1) * np.sqrt(2.0))) + 3 + 7
+    return -(-need // 8) * 8
+
+
+def auto_tchunk(n_angles: int, jwin: int, pp: int, itemsize: int) -> int:
+    """Angles fused per grid step: minimize angle padding (t_pad - T wastes
+    band bytes AND matmul rows) while keeping each step's block DMA in the
+    ~0.5-4 MB range where the kernel stays DMA-bound (a 128 KB/step variant
+    measured ~4 us/step of non-DMA overhead — module docstring)."""
+    best = None
+    for tc in range(1, n_angles + 1):
+        t_pad = -(-n_angles // tc) * tc
+        blk = tc * jwin * pp * itemsize
+        if blk < 512 * 1024 or blk > 4 * 1024 * 1024:
+            continue
+        score = (t_pad, blk < 1024 * 1024, -tc)
+        if best is None or score < best[0]:
+            best = (score, tc)
+    return best[1] if best else min(TCHUNK, n_angles)
 
 
 def _interpret() -> bool:
@@ -55,40 +87,60 @@ class BandedRadonState:
     """Device-resident operator state (threaded through jit as an argument,
     like the dense matrix — see Problem.op_state).
 
-    ``blocks``: (G, T_pad/TCHUNK, TCHUNK*JWIN, PP);
+    ``blocks``: (G, T_pad/tchunk, tchunk*jwin, patch*patch);
     ``jlo``: (T_pad * G,) int32 row offsets, indexed [t * G + g].
-    Registered as a pytree so it rides the trainer's data dict untouched.
+    ``patch``/``tchunk`` pin the geometry the blocks were built with (jwin
+    follows from the shapes). Registered as a pytree so it rides the
+    trainer's data dict untouched.
     """
 
-    def __init__(self, blocks, jlo, n_angles, w):
+    def __init__(self, blocks, jlo, n_angles, w, patch=32, tchunk=12):
         self.blocks = blocks
         self.jlo = jlo
         self.n_angles = int(n_angles)
         self.w = int(w)
+        self.patch = int(patch)
+        self.tchunk = int(tchunk)
+
+    @property
+    def jwin(self) -> int:
+        return self.blocks.shape[2] // self.tchunk
 
 
 jax.tree_util.register_pytree_node(
     BandedRadonState,
-    lambda s: ((s.blocks, s.jlo), (s.n_angles, s.w)),
-    lambda aux, kids: BandedRadonState(kids[0], kids[1], aux[0], aux[1]))
+    lambda s: ((s.blocks, s.jlo), (s.n_angles, s.w, s.patch, s.tchunk)),
+    lambda aux, kids: BandedRadonState(kids[0], kids[1], *aux))
+
+
+def _resolve_geometry(n_angles: int, w: int, dtype, patch, jwin, tchunk):
+    patch = patch or PATCH
+    jwin = jwin or auto_jwin(patch)
+    itemsize = jnp.dtype(dtype).itemsize
+    tchunk = tchunk or auto_tchunk(n_angles, jwin, patch * patch, itemsize)
+    assert w >= jwin, f"banded mode needs W >= {jwin}, got {w}"
+    return patch, jwin, tchunk
 
 
 def prepare_banded(a_f32: np.ndarray, n_angles: int, h: int, w: int,
-                   dtype=jnp.float32) -> BandedRadonState:
+                   dtype=jnp.float32, *, patch=None, jwin=None,
+                   tchunk=None) -> BandedRadonState:
     """Slice the dense (T*W, H*W) matrix into its per-(angle, patch) band
     blocks. Host-side numpy, done once per (theta, size) and cached
     upstream (FastRadonTransform.matrix)."""
-    assert h == w and h % PATCH == 0, (h, w)
-    assert w >= JWIN, f"banded mode needs W >= {JWIN}, got {w}"
-    gside = w // PATCH
+    patch, jwin, tchunk = _resolve_geometry(n_angles, w, dtype, patch, jwin,
+                                            tchunk)
+    pp = patch * patch
+    assert h == w and h % patch == 0, (h, w)
+    gside = w // patch
     g_count = gside * gside
 
     # patch-major column permutation: raster (y*w + x) -> (gy, gx, yl, xl)
-    perm = (np.arange(h * w).reshape(gside, PATCH, gside, PATCH)
-            .transpose(0, 2, 1, 3).reshape(g_count, PP))
+    perm = (np.arange(h * w).reshape(gside, patch, gside, patch)
+            .transpose(0, 2, 1, 3).reshape(g_count, pp))
 
-    t_pad = -(-n_angles // TCHUNK) * TCHUNK
-    blocks = np.zeros((t_pad, g_count, JWIN, PP), np.float32)
+    t_pad = -(-n_angles // tchunk) * tchunk
+    blocks = np.zeros((t_pad, g_count, jwin, pp), np.float32)
     jlo = np.zeros((t_pad, g_count), np.int32)
 
     for t in range(n_angles):
@@ -99,22 +151,24 @@ def prepare_banded(a_f32: np.ndarray, n_angles: int, h: int, w: int,
             if len(rows) == 0:
                 continue
             jmin, jmax = int(rows[0]), int(rows[-1])
-            lo = min(max(0, (jmin // 8) * 8), w - JWIN)
-            assert jmax < lo + JWIN, (
-                f"band wider than JWIN: t={t} g={g} [{jmin},{jmax}] lo={lo}")
+            lo = min(max(0, (jmin // 8) * 8), w - jwin)
+            assert jmax < lo + jwin, (
+                f"band wider than jwin: t={t} g={g} [{jmin},{jmax}] lo={lo}")
             jlo[t, g] = lo
-            blocks[t, g] = blk[lo:lo + JWIN]
+            blocks[t, g] = blk[lo:lo + jwin]
 
-    # grid layout: (patch, angle-chunk) with the TCHUNK angle blocks of one
+    # grid layout: (patch, angle-chunk) with the tchunk angle blocks of one
     # step stacked on the sublane axis for a single MXU pass
     blocks = (blocks.transpose(1, 0, 2, 3)          # (G, T_pad, JWIN, PP)
-              .reshape(g_count, t_pad // TCHUNK, TCHUNK * JWIN, PP))
+              .reshape(g_count, t_pad // tchunk, tchunk * jwin, pp))
     return BandedRadonState(jnp.asarray(blocks).astype(dtype),
-                            jnp.asarray(jlo.reshape(-1)), n_angles, w)
+                            jnp.asarray(jlo.reshape(-1)), n_angles, w,
+                            patch, tchunk)
 
 
 def prepare_banded_direct(theta_deg, h: int, w: int,
-                          dtype=jnp.float32) -> BandedRadonState:
+                          dtype=jnp.float32, *, patch=None, jwin=None,
+                          tchunk=None) -> BandedRadonState:
     """Build the banded blocks straight from the angles — the dense
     (T*W, H*W) matrix is never materialized.
 
@@ -125,13 +179,15 @@ def prepare_banded_direct(theta_deg, h: int, w: int,
     (torch affine_grid / grid_sample align_corners=False convention,
     radon/radon.py:36-55), golden-tested against it.
     """
-    assert h == w and h % PATCH == 0, (h, w)
-    assert w >= JWIN, f"banded mode needs W >= {JWIN}, got {w}"
-    gside = w // PATCH
-    g_count = gside * gside
     theta_rad = np.deg2rad(np.asarray(theta_deg, np.float64))
     n_angles = len(theta_rad)
-    t_pad = -(-n_angles // TCHUNK) * TCHUNK
+    patch, jwin, tchunk = _resolve_geometry(n_angles, w, dtype, patch, jwin,
+                                            tchunk)
+    pp = patch * patch
+    assert h == w and h % patch == 0, (h, w)
+    gside = w // patch
+    g_count = gside * gside
+    t_pad = -(-n_angles // tchunk) * tchunk
 
     jj = (2.0 * np.arange(w) + 1.0) / w - 1.0
     ii = (2.0 * np.arange(h) + 1.0) / h - 1.0
@@ -139,7 +195,7 @@ def prepare_banded_direct(theta_deg, h: int, w: int,
     y = np.broadcast_to(ii[:, None], (h, w))
     out_j = np.broadcast_to(np.arange(w)[None, :], (h, w)).ravel()
 
-    blocks = np.zeros((t_pad, g_count, JWIN, PP), np.float32)
+    blocks = np.zeros((t_pad, g_count, jwin, pp), np.float32)
     jlo = np.zeros((t_pad, g_count), np.int32)
 
     for t, th in enumerate(theta_rad):
@@ -162,9 +218,9 @@ def prepare_banded_direct(theta_deg, h: int, w: int,
             valid = ((xc >= 0) & (xc <= w - 1) & (yc >= 0) & (yc <= h - 1)
                      & (wgt > 0))
             xc, yc, wv = xc[valid], yc[valid], wgt[valid]
-            gs.append((yc // PATCH) * gside + xc // PATCH)
+            gs.append((yc // patch) * gside + xc // patch)
             js.append(out_j[valid])
-            locs.append((yc % PATCH) * PATCH + xc % PATCH)
+            locs.append((yc % patch) * patch + xc % patch)
             ws.append(wv.astype(np.float32))
         g = np.concatenate(gs)
         j = np.concatenate(js)
@@ -175,20 +231,21 @@ def prepare_banded_direct(theta_deg, h: int, w: int,
         jmax = np.full(g_count, -1, np.int64)
         np.minimum.at(jmin, g, j)
         np.maximum.at(jmax, g, j)
-        lo = np.clip((jmin // 8) * 8, 0, w - JWIN)
-        assert (jmax < lo + JWIN).all(), (
-            f"band wider than JWIN at angle {t}")
+        lo = np.clip((jmin // 8) * 8, 0, w - jwin)
+        assert (jmax < lo + jwin).all(), (
+            f"band wider than jwin at angle {t}")
         jlo[t] = np.where(jmax >= 0, lo, 0)
         np.add.at(blocks[t].reshape(-1),
-                  (g * JWIN + (j - lo[g])) * PP + loc, wv)
+                  (g * jwin + (j - lo[g])) * pp + loc, wv)
 
     blocks = (blocks.transpose(1, 0, 2, 3)
-              .reshape(g_count, t_pad // TCHUNK, TCHUNK * JWIN, PP))
+              .reshape(g_count, t_pad // tchunk, tchunk * jwin, pp))
     return BandedRadonState(jnp.asarray(blocks).astype(dtype),
-                            jnp.asarray(jlo.reshape(-1)), n_angles, w)
+                            jnp.asarray(jlo.reshape(-1)), n_angles, w,
+                            patch, tchunk)
 
 
-def patchify(image_nhwc: jnp.ndarray) -> jnp.ndarray:
+def patchify(image_nhwc: jnp.ndarray, patch: int = None) -> jnp.ndarray:
     """(B, H, W, C) -> (B*C, G*PP) cols-LEADING patch-major pixel matrix.
 
     Cols-leading is load-bearing: a pallas_call constrains its operands to
@@ -198,17 +255,20 @@ def patchify(image_nhwc: jnp.ndarray) -> jnp.ndarray:
     upstream (U-Net output, EMA, the 25-slot MC ring): ~8 ms/iter measured
     on v5e. With pixels on the lane axis the constraint is layout-neutral
     and those copies vanish."""
+    patch = patch or PATCH
     b, h, w, c = image_nhwc.shape
-    gside = w // PATCH
-    x = image_nhwc.reshape(b, gside, PATCH, gside, PATCH, c)
+    gside = w // patch
+    x = image_nhwc.reshape(b, gside, patch, gside, patch, c)
     x = x.transpose(0, 5, 1, 3, 2, 4)               # (b, c, gy, gx, yl, xl)
-    return x.reshape(b * c, gside * gside * PP)
+    return x.reshape(b * c, gside * gside * patch * patch)
 
 
-def unpatchify(grad_flat: jnp.ndarray, b: int, h: int, w: int, c: int):
+def unpatchify(grad_flat: jnp.ndarray, b: int, h: int, w: int, c: int,
+               patch: int = None):
     """(B*C, G*PP) -> (B, H, W, C); inverse of patchify."""
-    gside = w // PATCH
-    x = grad_flat.reshape(b, c, gside, gside, PATCH, PATCH)
+    patch = patch or PATCH
+    gside = w // patch
+    x = grad_flat.reshape(b, c, gside, gside, patch, patch)
     x = x.transpose(0, 2, 4, 3, 5, 1)               # (b, gy, yl, gx, xl, c)
     return x.reshape(b, h, w, c)
 
@@ -219,15 +279,17 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=13 * 1024 * 1024)
 
 
-def _fwd_call(blocks, jlo, v, *, g_count: int, w: int):
+def _fwd_call(blocks, jlo, v, *, g_count: int, w: int, tchunk: int):
     """(T_pad*W, cols) sinogram = banded-A @ (cols, G*PP) pixel matrix.
     The whole sinogram lives in VMEM across the grid; each step adds one
-    patch x TCHUNK angles. The sinogram keeps cols LAST (its dynamic row
+    patch x tchunk angles. The sinogram keeps cols LAST (its dynamic row
     windows must sit on the 8-aligned sublane axis) — it is tiny (~50 KB),
     so its layout constraint is harmless, unlike the image-sized v
     (see patchify)."""
     n_tc = blocks.shape[1]
-    t_pad = n_tc * TCHUNK
+    jwin = blocks.shape[2] // tchunk
+    pp = blocks.shape[3]
+    t_pad = n_tc * tchunk
     cols = v.shape[0]
 
     def kernel(jlo_ref, a_ref, v_ref, o_ref):
@@ -238,24 +300,24 @@ def _fwd_call(blocks, jlo, v, *, g_count: int, w: int):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        a = a_ref[0, 0].astype(jnp.float32)          # (TCHUNK*JWIN, PP)
+        a = a_ref[0, 0].astype(jnp.float32)          # (tchunk*jwin, pp)
         contrib = jax.lax.dot_general(
             a, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # (TCHUNK*JWIN, cols)
-        for i in range(TCHUNK):
-            t = tc * TCHUNK + i
+            precision=jax.lax.Precision.HIGHEST)     # (tchunk*jwin, cols)
+        for i in range(tchunk):
+            t = tc * tchunk + i
             lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
-            o_ref[pl.ds(t * w + lo, JWIN), :] += (
-                contrib[i * JWIN:(i + 1) * JWIN, :])
+            o_ref[pl.ds(t * w + lo, jwin), :] += (
+                contrib[i * jwin:(i + 1) * jwin, :])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g_count, n_tc),
         in_specs=[
-            pl.BlockSpec((1, 1, TCHUNK * JWIN, PP),
+            pl.BlockSpec((1, 1, tchunk * jwin, pp),
                          lambda g, tc, jlo: (g, tc, 0, 0)),
-            pl.BlockSpec((cols, PP), lambda g, tc, jlo: (0, g)),
+            pl.BlockSpec((cols, pp), lambda g, tc, jlo: (0, g)),
         ],
         out_specs=pl.BlockSpec((t_pad * w, cols), lambda g, tc, jlo: (0, 0)),
     )
@@ -265,7 +327,7 @@ def _fwd_call(blocks, jlo, v, *, g_count: int, w: int):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_pad * w, cols), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_pad * g_count * JWIN * PP * cols,
+            flops=2 * t_pad * g_count * jwin * pp * cols,
             bytes_accessed=blocks.size * bpe + v.size * 4
             + t_pad * w * cols * 4,
             transcendentals=0),
@@ -274,14 +336,16 @@ def _fwd_call(blocks, jlo, v, *, g_count: int, w: int):
     )(jlo, blocks, v)
 
 
-def _bwd_call(blocks, jlo, gsino, *, g_count: int, w: int):
+def _bwd_call(blocks, jlo, gsino, *, g_count: int, w: int, tchunk: int):
     """grad_v (cols, G*PP) = banded-A^T @ (T_pad*W, cols) cotangent; the tiny
     cotangent sinogram stays VMEM-resident, windows are gathered into scratch
     per step, and the same block stream contracts on its row axis. The
     image-sized OUTPUT is cols-leading for the same layout-neutrality reason
     as patchify's input (its reshape feeds the conv backward graph)."""
     n_tc = blocks.shape[1]
-    t_pad = n_tc * TCHUNK
+    jwin = blocks.shape[2] // tchunk
+    pp = blocks.shape[3]
+    t_pad = n_tc * tchunk
     cols = gsino.shape[-1]
 
     def kernel(jlo_ref, a_ref, s_ref, o_ref, win_ref):
@@ -292,56 +356,56 @@ def _bwd_call(blocks, jlo, gsino, *, g_count: int, w: int):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        for i in range(TCHUNK):
-            t = tc * TCHUNK + i
+        for i in range(tchunk):
+            t = tc * tchunk + i
             lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
-            win_ref[i * JWIN:(i + 1) * JWIN, :] = (
-                s_ref[pl.ds(t * w + lo, JWIN), :])
-        a = a_ref[0, 0].astype(jnp.float32)          # (TCHUNK*JWIN, PP)
+            win_ref[i * jwin:(i + 1) * jwin, :] = (
+                s_ref[pl.ds(t * w + lo, jwin), :])
+        a = a_ref[0, 0].astype(jnp.float32)          # (tchunk*jwin, pp)
         o_ref[:] += jax.lax.dot_general(
             win_ref[:], a, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # (cols, PP)
+            precision=jax.lax.Precision.HIGHEST)     # (cols, pp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(g_count, n_tc),
         in_specs=[
-            pl.BlockSpec((1, 1, TCHUNK * JWIN, PP),
+            pl.BlockSpec((1, 1, tchunk * jwin, pp),
                          lambda g, tc, jlo: (g, tc, 0, 0)),
             pl.BlockSpec((t_pad * w, cols), lambda g, tc, jlo: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((cols, PP), lambda g, tc, jlo: (0, g)),
-        scratch_shapes=[pltpu.VMEM((TCHUNK * JWIN, cols), jnp.float32)],
+        out_specs=pl.BlockSpec((cols, pp), lambda g, tc, jlo: (0, g)),
+        scratch_shapes=[pltpu.VMEM((tchunk * jwin, cols), jnp.float32)],
     )
     bpe = blocks.dtype.itemsize
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((cols, g_count * PP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((cols, g_count * pp), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * t_pad * g_count * JWIN * PP * cols,
+            flops=2 * t_pad * g_count * jwin * pp * cols,
             bytes_accessed=blocks.size * bpe + t_pad * w * cols * 4
-            + g_count * PP * cols * 4,
+            + g_count * pp * cols * 4,
             transcendentals=0),
         compiler_params=_compiler_params(),
         interpret=_interpret(),
     )(jlo, blocks, gsino)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _banded_matvec(blocks, jlo, v, g_count: int, w: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _banded_matvec(blocks, jlo, v, g_count: int, w: int, tchunk: int):
     """(T_pad*W, cols) sinogram = banded-A @ (cols, G*PP) pixel matrix."""
-    return _fwd_call(blocks, jlo, v, g_count=g_count, w=w)
+    return _fwd_call(blocks, jlo, v, g_count=g_count, w=w, tchunk=tchunk)
 
 
-def _banded_vjp_fwd(blocks, jlo, v, g_count, w):
-    return _banded_matvec(blocks, jlo, v, g_count, w), (blocks, jlo)
+def _banded_vjp_fwd(blocks, jlo, v, g_count, w, tchunk):
+    return _banded_matvec(blocks, jlo, v, g_count, w, tchunk), (blocks, jlo)
 
 
-def _banded_vjp_bwd(g_count, w, res, g):
+def _banded_vjp_bwd(g_count, w, tchunk, res, g):
     blocks, jlo = res
-    grad_v = _bwd_call(blocks, jlo, g, g_count=g_count, w=w)
+    grad_v = _bwd_call(blocks, jlo, g, g_count=g_count, w=w, tchunk=tchunk)
     return None, None, grad_v
 
 
@@ -366,8 +430,9 @@ def radon_apply_banded(image_nhwc: jnp.ndarray,
     row-major — dense in either heuristic mode."""
     b, h, w, c = image_nhwc.shape
     assert w == state.w, (w, state.w)
-    gside = w // PATCH
-    v = patchify(image_nhwc.astype(jnp.float32))
-    sino = _banded_matvec(state.blocks, state.jlo, v, gside * gside, w)
-    sino = sino.reshape(-1, w, b * c)[:state.n_angles]  # drop TCHUNK padding
+    gside = w // state.patch
+    v = patchify(image_nhwc.astype(jnp.float32), state.patch)
+    sino = _banded_matvec(state.blocks, state.jlo, v, gside * gside, w,
+                          state.tchunk)
+    sino = sino.reshape(-1, w, b * c)[:state.n_angles]  # drop angle padding
     return sino.reshape(state.n_angles, w, b, c).transpose(2, 0, 1, 3)

@@ -175,7 +175,8 @@ class FastRadonTransform:
             # the TPU default (exact f32); 'banded-bf16' is the opt-in speed
             # mode at <1e-3 relative operator error.
             from .pallas import radon_banded as _rb
-            if (jax.default_backend() == "tpu" and w >= _rb.JWIN
+            if (jax.default_backend() == "tpu"
+                    and w >= _rb.auto_jwin(_rb.PATCH)
                     and h == w and h % _rb.PATCH == 0):
                 # bf16-stored band: the op is HBM-bound on the 805 MB (256^2)
                 # band, so halving the bytes halves fwd+adjoint time

@@ -679,7 +679,13 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
 
     total_s = time.perf_counter() - t0
     steady = max(total_s - compile_s, 1e-9)
-    iters_per_sec = (executed - 1) / steady if executed > 1 else 0.0
+    # steady-state rate: the first chunk's WALL is inside compile_s, so its
+    # ITERATIONS must leave the numerator too — counting them inflated short
+    # benchmarks by up to n_chunks/(n_chunks-1) (358 vs a true 247 it/s at 2
+    # chunks on the v5e)
+    first_iters = min(chunk, num_iter - start_chunk * chunk)
+    steady_iters = executed - start_chunk * chunk - first_iters
+    iters_per_sec = steady_iters / steady if steady_iters > 0 else 0.0
 
     valid = np.where(np.isfinite(psnrs[:, 2]))[0]
     final_psnr = float(psnrs[valid[-1], 2]) if len(valid) else float("nan")
@@ -819,6 +825,8 @@ def fit_interleaved(problem: Problem, methods, *, num_iter: int, lr: float,
             ssims=ssims[j], recons=empty, uncerts_epi=empty,
             uncerts_ale=empty, params=jax.device_get(states[j].params),
             net_input=zs[j],
-            iters_per_sec=(executed[j] - 1) / steady,
+            # first-chunk iterations are inside compile_s (see fit):
+            # exclude them from the steady-state numerator too
+            iters_per_sec=max(executed[j] - min(chunk, num_iter), 0) / steady,
             compile_seconds=compile_s, final_psnr=final))
     return results

@@ -67,6 +67,10 @@ def main(argv=None):
                  for k, v in cfg.bo_params.items()}
     run_params = dict(cfg.run_params)
     chunk = min(500, args.iters)  # sweep setting, bounded for tiny smokes
+    # align num_iter+1 (trainer's ref-parity +1) to whole chunks: a partial
+    # final chunk still EXECUTES its masked iterations, deflating measured
+    # it/s by up to chunk/num_iter (bench.py does the same)
+    args.iters = -(-(args.iters + 1) // chunk) * chunk - 1
     run_params.update(
         num_iter=args.iters, show_every=chunk, metrics_every=10,
         chunk_iters=chunk, plot=False, save=False,

@@ -63,19 +63,19 @@ def test_banded_adjoint_dot_product(ops):
 
 
 def test_banded_band_window_invariant():
-    """Every (angle, patch) band fits the static JWIN window — the assertion
-    prepare_banded enforces; exercised here across an odd angle set."""
-    from mfvi_dip_mia_tpu.ops.pallas.radon_banded import (
-        prepare_banded, JWIN, TCHUNK)
+    """Every (angle, patch) band fits the state's jwin window — the
+    assertion prepare_banded enforces; exercised here across an odd angle
+    set and the auto-resolved (patch, jwin, tchunk) geometry."""
+    from mfvi_dip_mia_tpu.ops.pallas.radon_banded import prepare_banded
     from mfvi_dip_mia_tpu.ops.radon import _build_projection_matrix
     theta = np.arange(0.0, 180.0, 36.0) + 7.0   # 5 awkward angles
     a = _build_projection_matrix(theta, 64, 64)
     st = prepare_banded(a, len(theta), 64, 64)
-    t_pad = -(-len(theta) // TCHUNK) * TCHUNK
+    t_pad = -(-len(theta) // st.tchunk) * st.tchunk
     g_count = st.blocks.shape[0]
-    assert st.blocks.shape[1] == t_pad // TCHUNK
+    assert st.blocks.shape[1] == t_pad // st.tchunk
     assert st.jlo.shape == (t_pad * g_count,)
-    assert int(jnp.max(st.jlo)) <= 64 - JWIN
+    assert int(jnp.max(st.jlo)) <= 64 - st.jwin
 
 
 def test_prepare_direct_matches_dense_derived():
@@ -94,6 +94,41 @@ def test_prepare_direct_matches_dense_derived():
                                np.asarray(st_direct.blocks),
                                rtol=0, atol=2e-6)
     assert st_direct.n_angles == len(theta) and st_direct.w == 64
+
+
+@pytest.mark.parametrize("patch", [16, 32])
+def test_banded_geometry_sweep_matches_matmul(patch):
+    """Forward + grad parity vs the dense matmul mode across band
+    geometries: patch 16 (jwin 32 — half the band bytes of the 32/56
+    default) and patch 32. auto_jwin/auto_tchunk must resolve windows that
+    hold every footprint, and the kernel must be geometry-agnostic."""
+    from mfvi_dip_mia_tpu.ops.pallas import radon_banded as rbm
+    from mfvi_dip_mia_tpu.ops.radon import _build_projection_matrix
+
+    theta = np.arange(0.0, 180.0, 12.0)  # 15 angles
+    s = 64
+    a = _build_projection_matrix(theta, s, s)
+    st = rbm.prepare_banded(a, len(theta), s, s, patch=patch)
+    assert st.patch == patch and st.jwin == rbm.auto_jwin(patch)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(size=(1, s, s, 1)).astype(np.float32))
+    amat = jnp.asarray(a)
+
+    def dense(img):
+        flat = img.reshape(1, s * s, 1)
+        return jnp.einsum("rp,bpc->brc", amat, flat).reshape(
+            1, len(theta), s, 1)
+
+    s_d = dense(x)
+    s_b = rbm.radon_apply_banded(x, st)
+    scale = float(jnp.max(jnp.abs(s_d)))
+    assert float(jnp.max(jnp.abs(s_d - s_b))) < 1e-5 * scale
+
+    gd = jax.grad(lambda v: jnp.sum(dense(v) ** 2))(x)
+    gb = jax.grad(lambda v: jnp.sum(rbm.radon_apply_banded(v, st) ** 2))(x)
+    gscale = float(jnp.max(jnp.abs(gd)))
+    assert float(jnp.max(jnp.abs(gd - gb))) < 1e-5 * gscale
 
 
 def test_patchify_roundtrip():
