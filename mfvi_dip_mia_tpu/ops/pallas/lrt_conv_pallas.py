@@ -10,18 +10,22 @@ The XLA fallback (`lrt_conv._fused_double_conv`) expresses this as one conv
 with inputs stacked on the feature axis and block-diagonal weights — a single
 MXU pass, but HALF its FLOPs multiply structural zeros (the off-diagonal
 weight blocks), so it pays 2x the useful MXU work. This kernel streams each
-input row tile ONCE, builds the (kh*kw*C)-deep patch tensor in VMEM, squares
-it in-register, and issues two dense MXU contractions with zero wasted FLOPs:
+input row tile ONCE, squares each tap's slab in-register, and accumulates one
+dense contraction per (dy, dx) tap with zero wasted FLOPs:
 
-    P       = concat_{dy,dx} x_pad[dy : dy+TH, dx : dx+W_out, :]   # (TH, W, 9C)
-    act_mu  = P   . Wmu_mat                                        # K = 9C
-    act_var = P^2 . Wvar_mat
+    act_mu  += x_pad[dy : dy+TH, dx : dx+W_out, :]   . W_mu[dy, dx]
+    act_var += x_pad[dy : dy+TH, dx : dx+W_out, :]^2 . W_var[dy, dx]
 
-Grid is over output row tiles; the input rides in ANY memory space and the
-halo'd row slab (TH + kh - 1 rows) is DMA'd per step (BlockSpec blocks cannot
-overlap, the halo forces a manual copy). Weights are VMEM-resident across the
-grid. f32 accumulation at HIGHEST precision — matches the fallback to
-summation-order tolerance.
+(the single K=kh*kw*C im2col dot form is not Mosaic-compilable at small C —
+see the layout note inside the kernel).
+
+Grid is over output row tiles; the whole (padded) input is VMEM-resident
+across the grid (constant-index BlockSpec — fetched once; ~4-17 MB at the
+skip net's LRT sites, gated in ``supported``) because halo'd row-slab blocks
+cannot be expressed as non-overlapping BlockSpecs and a manual halo DMA is
+not Mosaic-compilable at small C (see the kernel's layout note). Weights are
+VMEM-resident across the grid. f32 accumulation at HIGHEST precision —
+matches the fallback to summation-order tolerance.
 
 Scope: stride 1, square kernels (1x1 / 3x3 — every stride-1 conv site in the
 skip net, nn/skip.py). Stride-2 downsampling sites keep the XLA path
@@ -58,9 +62,13 @@ def supported(x, w_mu, stride: int, padding: int) -> bool:
     kh, kw, _, _ = w_mu.shape
     if kh != kw or kh not in (1, 3):
         return False
-    n, h, w, _ = x.shape
+    n, h, w, cin = x.shape
     h_out = h + 2 * padding - kh + 1
     w_out = w + 2 * padding - kw + 1
+    # whole-input VMEM residency (see module docstring): stay well under
+    # the 100 MB vmem_limit with room for outputs/weights/pipelining
+    if (h + 2 * padding) * (w + 2 * padding) * cin * 4 > 48 * 1024 * 1024:
+        return False
     return h_out % TH == 0 and w_out >= 128 // 8 and w_out % 8 == 0
 
 
@@ -72,28 +80,43 @@ def _double_conv_fwd(xp, w_mu_mat, w_var_mat, *, kh: int, kw: int,
     o = w_mu_mat.shape[1]
     n_tiles = h_out // TH
 
-    def kernel(x_hbm, wmu_ref, wvar_ref, omu_ref, ovar_ref, xs, sem):
+    def kernel(x_ref, wmu_ref, wvar_ref, omu_ref, ovar_ref):
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[0, pl.ds(i * TH, TH + kh - 1)], xs, sem)
-        cp.start()
-        cp.wait()
-        slabs = []
+        # Per-tap accumulation over VMEM-resident input: one
+        # (TH, w_out, c) x (c, O) dot per (dy, dx) tap, accumulated
+        # in-register. Two designs Mosaic REFUSES on real v5e (both pass
+        # interpret mode): (a) the single K=kh*kw*c im2col dot, because the
+        # patch tensor needs jnp.concatenate of shifted slices whose
+        # (sublane, lane) vpad offsets differ ("result/input offset
+        # mismatch on non-concat dimension"), with the lane-offset VMEM
+        # staging-scratch variant tripping the next constraint (c=16 stores
+        # into a 128-tiled lane dim); (b) a manual halo row-slab DMA from a
+        # pl.ANY input, because the memref_slice of the (.., c=16) minor
+        # dim of a (1,128)-tiled memref is rejected. Whole-input VMEM
+        # residency + vector loads with dynamic row offsets compile clean;
+        # each tap's slab is read once and feeds BOTH contractions, which
+        # is the kernel's point (the XLA fallback streams x and x^2
+        # separately and multiplies structural zeros in the block-diagonal
+        # weights).
+        acc_mu = jnp.zeros((TH, w_out, o), jnp.float32)
+        acc_var = jnp.zeros((TH, w_out, o), jnp.float32)
+        dn = (((2,), (0,)), ((), ()))
         for dy in range(kh):
             for dx in range(kw):
-                slabs.append(
-                    jax.lax.slice(xs[:], (dy, dx, 0),
-                                  (dy + TH, dx + w_out, c)))
-        p = slabs[0] if len(slabs) == 1 else jnp.concatenate(slabs, axis=-1)
-        dn = (((2,), (0,)), ((), ()))
-        omu_ref[0] = jax.lax.dot_general(
-            p, wmu_ref[:], dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
-        ovar_ref[0] = jax.lax.dot_general(
-            p * p, wvar_ref[:], dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+                idx = dy * kw + dx
+                slab = x_ref[0, pl.ds(i * TH + dy, TH), dx:dx + w_out, :]
+                acc_mu = acc_mu + jax.lax.dot_general(
+                    slab, wmu_ref[idx * c:(idx + 1) * c, :],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                acc_var = acc_var + jax.lax.dot_general(
+                    slab * slab, wvar_ref[idx * c:(idx + 1) * c, :],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+        omu_ref[0] = acc_mu
+        ovar_ref[0] = acc_var
 
     out_spec = pl.BlockSpec((1, TH, w_out, o), lambda i: (0, i, 0, 0))
     compiler_params = (None if _interpret() else
@@ -103,14 +126,12 @@ def _double_conv_fwd(xp, w_mu_mat, w_var_mat, *, kh: int, kw: int,
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hp, wp, c), lambda i: (0, 0, 0, 0)),
             pl.BlockSpec((kh * kw * c, o), lambda i: (0, 0)),
             pl.BlockSpec((kh * kw * c, o), lambda i: (0, 0)),
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[jax.ShapeDtypeStruct((n, h_out, w_out, o), jnp.float32)] * 2,
-        scratch_shapes=[pltpu.VMEM((TH + kh - 1, wp, c), xp.dtype),
-                        pltpu.SemaphoreType.DMA],
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * h_out * w_out * kh * kw * c * o,
             bytes_accessed=xp.size * xp.dtype.itemsize

@@ -42,7 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-PATCH = int(os.environ.get("MFVI_DIP_RADON_PATCH", "32"))  # image patch side
+# Default patch side 16: its jwin-32 band carries 1.87x fewer bytes than
+# the 32/56 geometry (188 MB vs 352 MB at 256^2/45 angles) and the op is
+# HBM-bound on the band — measured end-to-end CT/MFVI 268.3 vs 245.5 it/s
+# (+9%) on v5e, identical convergence. pp=256 still fills two 128-lane
+# tiles; patch 8 (pp=64) would waste half the MXU lane width.
+PATCH = int(os.environ.get("MFVI_DIP_RADON_PATCH", "16"))  # image patch side
 JWIN = 64             # legacy default window; see auto_jwin
 TCHUNK = 12           # legacy default angle fusion; see auto_tchunk
 PP = PATCH * PATCH    # pixels per patch (default geometry)

@@ -178,9 +178,10 @@ class FastRadonTransform:
             if (jax.default_backend() == "tpu"
                     and w >= _rb.auto_jwin(_rb.PATCH)
                     and h == w and h % _rb.PATCH == 0):
-                # bf16-stored band: the op is HBM-bound on the 805 MB (256^2)
-                # band, so halving the bytes halves fwd+adjoint time
-                # (measured r3: fwd 1.24 -> ~0.6 ms). Relative operator error
+                # bf16-stored band: the op is HBM-bound on the band (188 MB
+                # at 256^2/45 angles with the patch-16 geometry; was 805 MB
+                # f32/patch-32/jwin-64), so halving the bytes halves
+                # fwd+adjoint time. Relative operator error
                 # < 1e-3; end-to-end CT convergence within 0.05 dB at 5k
                 # iters (scripts/ab_radon_dtype.py). MFVI_DIP_RADON=banded
                 # forces the exact-f32 band.
