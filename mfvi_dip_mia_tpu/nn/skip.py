@@ -83,7 +83,15 @@ class _CFOps:
 # levels whose input spatial extent is at least this run channels-first in
 # layout='auto' mode (below it, channel counts reach >=64 and channels-on-
 # lanes tilings are dense anyway, while W shrinks under a lane tile)
-CF_MIN_SIZE = 128
+import os as _os
+
+# 0 = every level runs channels-first under layout='auto'. The original
+# hypothesis (levels with >=64 channels are dense under channels-on-lanes
+# tilings anyway, so only high-res levels need CF) measured WRONG end-to-end:
+# CT/MFVI 256^2 on v5e is 284.4 it/s all-CF vs 276.3 (CF >= 64) vs 268.3
+# (CF >= 128) — the low-res NHWC levels still pay transpose/relayout copies
+# at the CF<->NHWC boundaries. Env override for A/B: MFVI_DIP_CF_MIN.
+CF_MIN_SIZE = int(_os.environ.get("MFVI_DIP_CF_MIN", "0"))
 
 
 @dataclasses.dataclass(frozen=True)
