@@ -39,7 +39,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TH = 8  # output rows per grid step
+import os as _os
+
+TH = int(_os.environ.get("MFVI_DIP_CFCONV_TH", "8"))  # output rows per step
 
 
 def _interpret() -> bool:
@@ -232,6 +234,57 @@ def _bwd(kdims, res, g):
 conv_valid_cf.defvjp(_fwd, _bwd)
 
 
+def _conv_s2_planes(xs: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 conv as space-to-depth parity planes + ONE dense stride-1
+    VALID conv at half resolution.
+
+        out[o,y,x] = sum_{dy,dx} w[dy,dx] xs[2y+dy, 2x+dx]
+                   = sum_{p,q} sum_{dy',dx'} w[2dy'+p, 2dx'+q]
+                                             x_pq[y+dy', x+dx']
+
+    with x_pq = xs[p::2, q::2] stacked as 4*C channels. For k=3 the plane
+    kernel is 2x2 with one zero tap row/col per odd parity — 16/9 of the
+    original FLOPs, but at 4x the input channels and 1/4 the pixels the MXU
+    K-tiles fill 4x better AND the old path's stride-1-then-subsample 4x
+    overcompute (plus its 4x-cost full-correlation backward) disappears:
+    the d0 site (16->16, 256^2 in) measures 3.4x faster fwd+bwd."""
+    kh, kw, c, o = w.shape
+    k2 = (kh + 1) // 2
+    h_out = (xs.shape[1] - kh) // 2 + 1
+    w_out = (xs.shape[2] - kw) // 2 + 1
+    # planes need m >= h_out + k2 - 1 rows each -> 2m rows of input
+    m = h_out + k2 - 1
+    n = w_out + k2 - 1
+    need_h, need_w = 2 * m, 2 * n
+    pad_h = max(0, need_h - xs.shape[1])
+    pad_w = max(0, need_w - xs.shape[2])
+    if pad_h or pad_w:
+        xs = jnp.pad(xs, ((0, 0), (0, pad_h), (0, pad_w)))
+    xs = xs[:, :need_h, :need_w]
+    planes = (xs.reshape(c, m, 2, n, 2)
+              .transpose(2, 4, 0, 1, 3)          # (p, q, C, m, n)
+              .reshape(4 * c, m, n))
+    # plane kernel (k2, k2, 4C, O): tap (dy', dx') of plane (p, q) is the
+    # original tap (2dy'+p, 2dx'+q), zero where that exceeds k; the channel
+    # blocks concatenate in the planes' (p*2+q) order
+    zero = jnp.zeros((c, o), w.dtype)
+    rows = []
+    for dy in range(k2):
+        cols = []
+        for dx in range(k2):
+            blocks = []
+            for p in range(2):
+                for q in range(2):
+                    oy, ox = 2 * dy + p, 2 * dx + q
+                    blocks.append(w[oy, ox] if (oy < kh and ox < kw)
+                                  else zero)
+            cols.append(jnp.concatenate(blocks, axis=0))   # (4C, O)
+        rows.append(jnp.stack(cols))
+    wm = jnp.stack(rows)                                   # (k2, k2, 4C, O)
+    out = conv_valid_cf(planes, wm, (k2, k2))
+    return out[:, :h_out, :w_out]
+
+
 def conv2d_cf_pallas(x: jnp.ndarray, w: jnp.ndarray,
                      b: jnp.ndarray | None = None, stride: int = 1,
                      padding: int = 0, pad_mode: str = "zero") -> jnp.ndarray:
@@ -251,10 +304,18 @@ def conv2d_cf_pallas(x: jnp.ndarray, w: jnp.ndarray,
     if not supported(xs, w, stride):
         xin = xs[None]
         out = cf_layers.conv2d(xin, w, None, stride, 0)
+    elif stride == 2:
+        w_out = (xs.shape[2] - kh) // 2 + 1
+        if kh == 1:
+            # 1x1 stride-2: subsampling commutes with the conv
+            out = conv_valid_cf(xs[:, ::2, ::2], w, (1, 1))[None]
+        elif w_out >= 64:
+            # half-res planes keep a lane-worthy width
+            out = _conv_s2_planes(xs, w)[None]
+        else:
+            out = conv_valid_cf(xs, w, (kh, kh))[None][:, :, ::2, ::2]
     else:
         out = conv_valid_cf(xs, w, (kh, kh))[None]
-        if stride == 2:
-            out = out[:, :, ::2, ::2]
     if b is not None:
         out = out + b[None, :, None, None]
     return out

@@ -148,6 +148,12 @@ def main(argv=None):
         return jax.tree.map(lambda a, b: a - 1e-12 * b, p, g)
     scan_time("kl_grad", kl_body, params)
 
+    # 5b. whole-tree RT sampling alone (the per-iteration posterior draw)
+    def sample_body(c, i):
+        s = vi.sample_mfvi_tree(params, jax.random.fold_in(k_train, i))
+        return c + jnp.sum(jax.tree.leaves(s)[0].astype(jnp.float32))
+    scan_time("sample_tree", sample_body, jnp.float32(0))
+
     # 6. metric triple (PSNR + SSIM, varying recon)
     from mfvi_dip_mia_tpu.ops import metrics as M
 
