@@ -305,11 +305,23 @@ def _fwd_call(blocks, jlo, v, *, g_count: int, w: int, tchunk: int):
         def _():
             o_ref[:] = jnp.zeros_like(o_ref)
 
-        a = a_ref[0, 0].astype(jnp.float32)          # (tchunk*jwin, pp)
-        contrib = jax.lax.dot_general(
-            a, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # (tchunk*jwin, cols)
+        # bf16-stored band, cols == 1 (the DIP workload): the "dot" is a
+        # matvec that Mosaic lowers to VPU broadcast-multiply-reduce anyway
+        # (a bf16 x bf16 -> f32 dot_general trips a vector.broadcast
+        # verifier error), so write the mul-reduce explicitly — the bf16
+        # band promotes to f32 INSIDE the multiply, replacing the separate
+        # astype(f32) VPU pass over the 94M-element band that the old path
+        # paid per call on an otherwise DMA-bound op.
+        if blocks.dtype == jnp.bfloat16 and cols == 1:
+            a = a_ref[0, 0]                          # (tchunk*jwin, pp) bf16
+            prod = a.astype(jnp.float32) * v_ref[0, :][None, :]
+            contrib = jnp.sum(prod, axis=1)[:, None]
+        else:
+            a = a_ref[0, 0].astype(jnp.float32)      # (tchunk*jwin, pp)
+            contrib = jax.lax.dot_general(
+                a, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (tchunk*jwin, cols)
         for i in range(tchunk):
             t = tc * tchunk + i
             lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
@@ -366,11 +378,19 @@ def _bwd_call(blocks, jlo, gsino, *, g_count: int, w: int, tchunk: int):
             lo = pl.multiple_of(jlo_ref[t * g_count + g], 8)
             win_ref[i * jwin:(i + 1) * jwin, :] = (
                 s_ref[pl.ds(t * w + lo, jwin), :])
-        a = a_ref[0, 0].astype(jnp.float32)          # (tchunk*jwin, pp)
-        o_ref[:] += jax.lax.dot_general(
-            win_ref[:], a, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)     # (cols, pp)
+        # mirror of the forward's cols == 1 special case: explicit
+        # broadcast-multiply-reduce with the bf16->f32 promotion fused into
+        # the multiply (see _fwd_call)
+        if blocks.dtype == jnp.bfloat16 and cols == 1:
+            a = a_ref[0, 0]                          # (tchunk*jwin, pp) bf16
+            prod = a.astype(jnp.float32) * win_ref[:, 0][:, None]
+            o_ref[:] += jnp.sum(prod, axis=0)[None, :]
+        else:
+            a = a_ref[0, 0].astype(jnp.float32)      # (tchunk*jwin, pp)
+            o_ref[:] += jax.lax.dot_general(
+                win_ref[:], a, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # (cols, pp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
