@@ -33,11 +33,16 @@ def main(argv=None):
     ap.add_argument("--layout", default="nhwc", choices=["nhwc", "auto"])
     ap.add_argument("--groupby", default="kind", choices=["kind", "op"])
     ap.add_argument("--dump", default=None, help="write full HLO text here")
+    ap.add_argument("--prng", default="auto",
+                    help="jax_default_prng_impl: 'auto' = production setting "
+                         "(rbg on TPU), or threefry2x32/rbg explicitly")
     args = ap.parse_args(argv)
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from mfvi_dip_mia_tpu.utils.prng import configure as configure_prng
+    configure_prng(None if args.prng == "auto" else args.prng)
     import jax.numpy as jnp
     import numpy as np
 
