@@ -204,6 +204,108 @@ def _fwd(xp, w, kdims):
     return conv_valid_cf(xp, w, kdims), (xp, w)
 
 
+@functools.partial(jax.jit, static_argnames=("kh", "kw"))
+def _dw_call(xp, g, *, kh: int, kw: int):
+    """All-tap weight gradient in ONE pass over the input.
+
+    xp: (I, Hp, Wp) padded input; g: (O, h_run, w_run) zero-padded cotangent.
+    Returns (kh*kw*i_pad, O) f32 = sum over output rows of
+    patches(K, TH*W) @ g_block(O, TH*W)^T, accumulated across row tiles.
+
+    Why: the XLA formulation (one dot per tap) re-reads the full input
+    kh*kw times — ~40 MB of HBM traffic per 256^2 conv site versus ~4.5 MB
+    here (input + cotangent each read once, patch build in VMEM)."""
+    i_ch, hp, wp = xp.shape
+    i_pad = _round8(i_ch)
+    o_ch, h_run, w_run = g.shape
+    n_tiles = h_run // TH
+    slab_rows = _round8(TH + kh - 1)
+    kk = kh * kw * i_pad
+    precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+
+    def kernel(x_hbm, g_ref, o_ref, slab, patches, sem):
+        t = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
+        cp.start()
+
+        @pl.when(t == 0)
+        def _():
+            if i_pad != i_ch:
+                patches[:] = jnp.zeros_like(patches)
+            o_ref[:] = jnp.zeros_like(o_ref)
+
+        cp.wait()
+        for ky in range(kh):
+            for kx in range(kw):
+                tap = ky * kw + kx
+                patches[tap * i_pad:tap * i_pad + i_ch] = (
+                    slab[:, ky:ky + TH, kx:kx + w_run])
+        # explicit f32 promotion: this dot contracts BOTH operands on their
+        # lane dim (an A @ B^T), for which Mosaic inserts an operand
+        # transpose — its implicit bf16->f32 vector.broadcast there does not
+        # compile on v5e (same fix as the banded Radon's mul-reduce)
+        pf = patches[:].reshape(kk, TH * w_run).astype(jnp.float32)
+        gf = g_ref[:].reshape(o_ch, TH * w_run).astype(jnp.float32)
+        contrib = jax.lax.dot_general(
+            pf, gf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision)
+        o_ref[:] += contrib
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((o_ch, TH, w_run), lambda t: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((kk, o_ch), lambda t: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((kk, o_ch), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((i_ch, slab_rows, wp), xp.dtype),
+            pltpu.VMEM((kk, TH, w_run), xp.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * kk * o_ch * h_run * w_run,
+            bytes_accessed=(xp.size + g.size) * xp.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=(None if _interpret() else pltpu.CompilerParams(
+            vmem_limit_bytes=10 * 1024 * 1024,
+            dimension_semantics=("arbitrary",))),
+        interpret=_interpret(),
+    )(xp, g)
+
+
+def dw_valid_cf(xp: jnp.ndarray, g: jnp.ndarray, kdims) -> jnp.ndarray:
+    """(kh, kw, I, O) weight gradient of the VALID conv, via _dw_call.
+    Zero-pads the cotangent to tile/lane-aligned extents (zeros annihilate
+    the padded input columns' garbage contributions) and the input so the
+    slab DMA stays in bounds — mirrors conv_valid_cf's padding contract."""
+    kh, kw = kdims
+    i_ch = xp.shape[0]
+    i_pad = _round8(i_ch)
+    o_ch, h_out, w_out = g.shape
+    pad_r = (-h_out) % TH
+    h_run = h_out + pad_r
+    need_rows = (h_run - TH) + _round8(TH + kh - 1)
+    w_run = -(-w_out // 128) * 128
+    wp_target = -(-max(xp.shape[2], w_run + kw - 1) // 128) * 128
+    pad_rows = max(need_rows - xp.shape[1], 0)
+    pad_cols = wp_target - xp.shape[2]
+    if pad_rows or pad_cols:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    if pad_r or w_run != w_out:
+        g = jnp.pad(g, ((0, 0), (0, pad_r), (0, w_run - w_out)))
+    out = _dw_call(xp, g, kh=kh, kw=kw)          # (kh*kw*i_pad, O) f32
+    return out.reshape(kh, kw, i_pad, o_ch)[:, :, :i_ch, :]
+
+
 def _bwd(kdims, res, g):
     xp, w = res
     kh, kw = kdims
@@ -212,8 +314,12 @@ def _bwd(kdims, res, g):
     gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1)))
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))   # (kh,kw,O,I)
     dx = conv_valid_cf(gp.astype(xp.dtype), w_flip.astype(xp.dtype), kdims)
-    # dw: one multi-dim dot per tap (contracting H, W) — plain XLA dots,
-    # which carry none of the conv ops' layout preferences.
+    if _os.environ.get("MFVI_DIP_FUSED_DW", "1") != "0":
+        dw = dw_valid_cf(xp, g.astype(xp.dtype), kdims).astype(w.dtype)
+        return dx, dw
+    # fallback: one multi-dim dot per tap (contracting H, W) — plain XLA
+    # dots, which carry none of the conv ops' layout preferences, but
+    # re-read the input once per tap.
     h_out, w_out = g.shape[1], g.shape[2]
     taps = []
     for ky in range(kh):

@@ -203,6 +203,12 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
             k_jit, z_saved.shape, z_saved.dtype)
 
         params = state.params
+        # fused analytic KL (optim/fused_adamw.py): only for the closed-form
+        # Normal prior, and only when the fused optimizer is in play (its
+        # inject_hyperparams state carries a "kl_temp" slot)
+        fused_kl = (is_mfvi and hp.prior_pi.shape[0] == 0
+                    and "kl_temp" in getattr(state.opt_state, "hyperparams",
+                                             {}))
         if is_sgld:
             # pre-forward parameter perturbation at sigma = 2 * base_lr (the
             # CONSTANT lr — ref :984); persists in params (ref :166-170)
@@ -235,6 +241,11 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
                                        hp.prior_scale, hp.prior_pi)
                 else:
                     kl = vi.kl_mfvi(p, 0.0, hp.prior_sigma)
+                    if fused_kl:
+                        # keep the KL *value* (logged loss parity) but let
+                        # the fused optimizer add its analytic gradient —
+                        # skips autodiff replaying the softplus/concat chain
+                        kl = jax.lax.stop_gradient(kl)
                 loss = loss + hp.temp * kl
             return loss, out
 
@@ -245,6 +256,13 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
         opt_state.hyperparams["weight_decay"] = hp.weight_decay
         opt_state.hyperparams["learning_rate"] = (
             _sgld_lr(hp, it) if is_sgld else hp.lr)
+        if "kl_temp" in opt_state.hyperparams:
+            # fused flat AdamW: the analytic KL gradient rides the optimizer
+            # (optim/fused_adamw.py); zero-scaled unless this step routed the
+            # closed-form Normal prior through stop_gradient above
+            opt_state.hyperparams["kl_temp"] = (
+                hp.temp if fused_kl else jnp.float32(0.0))
+            opt_state.hyperparams["kl_prior_sigma"] = hp.prior_sigma
         updates, new_opt = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
 
@@ -407,6 +425,15 @@ def _build_optimizer(method: Method, lr: float):
     tiny per-leaf fusions (HLO cycle profile: 840 loop fusions dominated the
     step at 256^2) into a handful of big ones."""
     wd = method.weight_decay if method.name in ("mcd", "sgld") else 0.0
+    if os.environ.get("MFVI_DIP_FUSED_ADAMW", "1") != "0":
+        # hand-fused single-chain flat AdamW (+ analytic KL gradient for
+        # mfvi) — numerically the optax path below, minus ~10 fragmented
+        # passes over the 2M-element flat vector and the KL autodiff
+        from ..optim.fused_adamw import flat_adamw
+        return optax.inject_hyperparams(
+            flat_adamw, static_args=("use_kl", "b1", "b2", "eps"))(
+            learning_rate=lr, weight_decay=wd, kl_temp=0.0,
+            kl_prior_sigma=0.1, use_kl=(method.name == "mfvi"))
     return optax.flatten(
         optax.inject_hyperparams(optax.adamw)(learning_rate=lr,
                                               weight_decay=wd))

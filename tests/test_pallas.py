@@ -69,3 +69,53 @@ def test_lrt_conv_moments(rng):
     act_mu = layers.conv2d(x, w_mu, None, 1, 0)
     np.testing.assert_allclose(np.asarray(jnp.mean(outs, 0)),
                                np.asarray(act_mu), atol=0.05)
+
+
+@pytest.mark.parametrize("i_ch,o_ch,k,h,w", [
+    (16, 16, 3, 40, 130),   # i_pad == i_ch, unaligned width
+    (3, 8, 3, 24, 64),      # i_pad > i_ch (channel padding rows)
+    (8, 4, 5, 32, 150),     # k=5, odd extents
+    (8, 8, 1, 16, 128),     # 1x1
+])
+def test_dw_valid_cf_matches_tap_dots(rng, i_ch, o_ch, k, h, w):
+    """The fused all-tap weight-gradient kernel must reproduce the per-tap
+    dot formulation (the _bwd fallback) exactly up to accumulation order."""
+    from mfvi_dip_mia_tpu.ops.pallas.cf_conv import dw_valid_cf
+
+    xp = jnp.asarray(rng.standard_normal((i_ch, h, w)), jnp.float32)
+    h_out, w_out = h - k + 1, w - k + 1
+    g = jnp.asarray(rng.standard_normal((o_ch, h_out, w_out)), jnp.float32)
+
+    dw = np.asarray(dw_valid_cf(xp, g, (k, k)))
+
+    ref = np.zeros((k, k, i_ch, o_ch), np.float32)
+    for ky in range(k):
+        for kx in range(k):
+            xs = np.asarray(xp)[:, ky:ky + h_out, kx:kx + w_out]
+            ref[ky, kx] = np.einsum("ihw,ohw->io", xs, np.asarray(g))
+    np.testing.assert_allclose(dw, ref, rtol=2e-4, atol=2e-3)
+
+
+def test_conv_valid_cf_grads_match_xla_conv(rng):
+    """Full vjp (pallas dx + fused dw) against jax.grad through the XLA
+    NCHW conv on identical inputs."""
+    from mfvi_dip_mia_tpu.nn import cf
+    from mfvi_dip_mia_tpu.ops.pallas.cf_conv import conv_valid_cf
+
+    i_ch, o_ch, k = 8, 6, 3
+    x = jnp.asarray(rng.standard_normal((i_ch, 40, 140)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((k, k, i_ch, o_ch)) * 0.1,
+                     jnp.float32)
+
+    def loss_pallas(x_, w_):
+        return jnp.sum(jnp.sin(conv_valid_cf(x_, w_, (k, k))))
+
+    def loss_xla(x_, w_):
+        return jnp.sum(jnp.sin(cf.conv2d(x_[None], w_, None, 1, 0)[0]))
+
+    gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x, wt)
+    gx_r, gw_r = jax.grad(loss_xla, argnums=(0, 1))(x, wt)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_r),
+                               rtol=2e-4, atol=2e-3)
