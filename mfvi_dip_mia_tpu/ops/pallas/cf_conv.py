@@ -41,7 +41,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os as _os
 
-TH = int(_os.environ.get("MFVI_DIP_CFCONV_TH", "8"))  # output rows per step
+_TH_FORCED = _os.environ.get("MFVI_DIP_CFCONV_TH")  # set => fixed everywhere
+TH = int(_TH_FORCED) if _TH_FORCED else 8  # legacy fixed default (dw kernel)
+
+
+def _pick_th(i_ch: int, kh: int, kw: int, wp: int, w_run: int, o_ch: int,
+             itemsize: int, extra_blocks: int = 0) -> int:
+    """Output rows per grid step, per site: the largest of 32/16/8 whose
+    scratch (input slab + patch matrix) plus double-buffered VMEM blocks fit
+    a conservative scoped-VMEM budget. Small-channel high-res sites (the
+    U-Net's hot levels) get 32 — 4x fewer DMA round-trips and grid steps —
+    while wide concat sites (i_ch=132) fall back to 8, which is what the
+    fixed TH=16 experiment OOM'd on (scoped 15.4M > 14.2M at 256^2)."""
+    if _TH_FORCED:
+        return int(_TH_FORCED)
+    i_pad = _round8(i_ch)
+    for th in (32, 16, 8):
+        slab = i_ch * _round8(th + kh - 1) * wp * itemsize
+        patches = kh * kw * i_pad * th * w_run * itemsize
+        blocks = 2 * (1 + extra_blocks) * o_ch * th * w_run * itemsize
+        if slab + patches + blocks <= 6 * 1024 * 1024:
+            return th
+    return 8
 
 
 def _interpret() -> bool:
@@ -77,9 +98,12 @@ def _wmat(w: jnp.ndarray, i_pad: int) -> jnp.ndarray:
     return wm.reshape(o, kh * kw * i_pad)
 
 
-@functools.partial(jax.jit, static_argnames=("kh", "kw", "h_out", "w_out"))
-def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int):
+@functools.partial(jax.jit, static_argnames=("kh", "kw", "h_out", "w_out",
+                                              "th"))
+def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int,
+               th: int = TH):
     """xp: (I, Hp, Wp); wmat: (O, kh*kw*I_pad). Returns (O, h_out, w_out)."""
+    TH = th
     i_ch, hp, wp = xp.shape
     i_pad = wmat.shape[1] // (kh * kw)
     o_ch = wmat.shape[0]
@@ -178,11 +202,6 @@ def conv_valid_cf(xp: jnp.ndarray, w: jnp.ndarray, kdims) -> jnp.ndarray:
     i_pad = _round8(xp.shape[0])
     h_out = xp.shape[1] - kh + 1
     w_out = xp.shape[2] - kw + 1
-    pad_r = (-h_out) % TH
-    h_run = h_out + pad_r
-    # rows the kernel's (8-aligned) slab DMA can touch on its last tile
-    need_rows = (h_run - TH) + _round8(TH + kh - 1)
-    pad_rows = max(need_rows - xp.shape[1], pad_r)
     # Mosaic needs 128-aligned lane extents twice over: the HBM->VMEM DMA
     # slice width AND the (K, TH, w) -> (K, TH*w) patch reshape inside the
     # in-kernel dot. Run the kernel at a 128-padded output width on a
@@ -190,11 +209,18 @@ def conv_valid_cf(xp: jnp.ndarray, w: jnp.ndarray, kdims) -> jnp.ndarray:
     # that are sliced off (values of the kept columns unaffected).
     w_run = -(-w_out // 128) * 128
     wp_target = -(-max(xp.shape[2], w_run + kw - 1) // 128) * 128
+    th = _pick_th(xp.shape[0], kh, kw, wp_target, w_run, w.shape[3],
+                  xp.dtype.itemsize)
+    pad_r = (-h_out) % th
+    h_run = h_out + pad_r
+    # rows the kernel's (8-aligned) slab DMA can touch on its last tile
+    need_rows = (h_run - th) + _round8(th + kh - 1)
+    pad_rows = max(need_rows - xp.shape[1], pad_r)
     pad_cols = wp_target - xp.shape[2]
     if pad_rows or pad_cols:
         xp = jnp.pad(xp, ((0, 0), (0, pad_rows), (0, pad_cols)))
     out = _conv_call(xp, _wmat(w, i_pad), kh=kh, kw=kw,
-                     h_out=h_run, w_out=w_run)
+                     h_out=h_run, w_out=w_run, th=th)
     if pad_r or w_run != w_out:
         out = out[:, :h_out, :w_out]
     return out
@@ -204,8 +230,8 @@ def _fwd(xp, w, kdims):
     return conv_valid_cf(xp, w, kdims), (xp, w)
 
 
-@functools.partial(jax.jit, static_argnames=("kh", "kw"))
-def _dw_call(xp, g, *, kh: int, kw: int):
+@functools.partial(jax.jit, static_argnames=("kh", "kw", "th"))
+def _dw_call(xp, g, *, kh: int, kw: int, th: int = TH):
     """All-tap weight gradient in ONE pass over the input.
 
     xp: (I, Hp, Wp) padded input; g: (O, h_run, w_run) zero-padded cotangent.
@@ -215,6 +241,7 @@ def _dw_call(xp, g, *, kh: int, kw: int):
     Why: the XLA formulation (one dot per tap) re-reads the full input
     kh*kw times — ~40 MB of HBM traffic per 256^2 conv site versus ~4.5 MB
     here (input + cotangent each read once, patch build in VMEM)."""
+    TH = th
     i_ch, hp, wp = xp.shape
     i_pad = _round8(i_ch)
     o_ch, h_run, w_run = g.shape
@@ -291,18 +318,22 @@ def dw_valid_cf(xp: jnp.ndarray, g: jnp.ndarray, kdims) -> jnp.ndarray:
     i_ch = xp.shape[0]
     i_pad = _round8(i_ch)
     o_ch, h_out, w_out = g.shape
-    pad_r = (-h_out) % TH
-    h_run = h_out + pad_r
-    need_rows = (h_run - TH) + _round8(TH + kh - 1)
     w_run = -(-w_out // 128) * 128
     wp_target = -(-max(xp.shape[2], w_run + kw - 1) // 128) * 128
+    # patches are bf16/f32 + an f32 promoted copy feeds the dot: count the
+    # extra g block (extra_blocks=1) so the budget stays conservative
+    th = _pick_th(i_ch, kh, kw, wp_target, w_run, o_ch,
+                  xp.dtype.itemsize, extra_blocks=1)
+    pad_r = (-h_out) % th
+    h_run = h_out + pad_r
+    need_rows = (h_run - th) + _round8(th + kh - 1)
     pad_rows = max(need_rows - xp.shape[1], 0)
     pad_cols = wp_target - xp.shape[2]
     if pad_rows or pad_cols:
         xp = jnp.pad(xp, ((0, 0), (0, pad_rows), (0, pad_cols)))
     if pad_r or w_run != w_out:
         g = jnp.pad(g, ((0, 0), (0, pad_r), (0, w_run - w_out)))
-    out = _dw_call(xp, g, kh=kh, kw=kw)          # (kh*kw*i_pad, O) f32
+    out = _dw_call(xp, g, kh=kh, kw=kw, th=th)   # (kh*kw*i_pad, O) f32
     return out.reshape(kh, kw, i_pad, o_ch)[:, :, :i_ch, :]
 
 

@@ -141,8 +141,9 @@ def main(argv=None):
         total += cycles
 
     print(f"# total estimated_cycles (all ops w/ estimates): {total:,}")
-    # v5e ~ 940 MHz nominal; cycles -> us guide only
-    print(f"# at ~940MHz: {total / 940e3:.1f} us modeled per invocation")
+    # v5e ~ 940 MHz nominal; cycles -> time guide only (cycles/940e3 = us,
+    # so 7.5M cycles ~= 8 ms — the old label said 'us' off by 1000x)
+    print(f"# at ~940MHz: {total / 940e6 * 1e3:.2f} ms modeled per invocation")
     print(f"{'cycles':>14} {'%':>6} {'n':>5}  group (top sample)")
     for g, c in agg.most_common(args.top):
         print(f"{c:>14,} {100 * c / total:>5.1f} {cnt[g]:>5}  {g} "
