@@ -56,8 +56,9 @@ def _pick_th(i_ch: int, kh: int, kw: int, wp: int, w_run: int, o_ch: int,
     if _TH_FORCED:
         return int(_TH_FORCED)
     i_pad = _round8(i_ch)
+    n_buf = 2 if _os.environ.get("MFVI_DIP_CFCONV_DB", "1") != "0" else 1
     for th in (32, 16, 8):
-        slab = i_ch * _round8(th + kh - 1) * wp * itemsize
+        slab = n_buf * i_ch * _round8(th + kh - 1) * wp * itemsize
         patches = kh * kw * i_pad * th * w_run * itemsize
         blocks = 2 * (1 + extra_blocks) * o_ch * th * w_run * itemsize
         if slab + patches + blocks <= 6 * 1024 * 1024:
@@ -115,17 +116,38 @@ def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int,
     precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
+    # double-buffered input slab: prefetch tile t+1's rows while tile t
+    # computes, hiding the HBM->VMEM latency behind the patch build + dot
+    # (gate: MFVI_DIP_CFCONV_DB=0 reverts to the serial copy-wait-compute)
+    db = _os.environ.get("MFVI_DIP_CFCONV_DB", "1") != "0"
+    n_buf = 2 if db else 1
+
     def kernel(x_hbm, wm_ref, o_ref, slab, patches, sem):
         t = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
-        cp.start()
-        cp.wait()
+        cur = t % n_buf
+
+        def copy(idx, buf):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(idx * TH, slab_rows), :],
+                slab.at[buf], sem.at[buf])
+
+        @pl.when(t == 0)
+        def _():
+            if i_pad != i_ch:
+                patches[:] = jnp.zeros_like(patches)
+            copy(0, 0).start()
+
+        if db:
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                copy(t + 1, (t + 1) % n_buf).start()
+
+        copy(t, cur).wait()
         for ky in range(kh):
             for kx in range(kw):
                 tap = ky * kw + kx
                 patches[tap * i_pad:tap * i_pad + i_ch] = (
-                    slab[:, ky:ky + TH, kx:kx + w_out])
+                    slab[cur, :, ky:ky + TH, kx:kx + w_out])
         out = jax.lax.dot_general(
             wm_ref[:], patches[:],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -133,10 +155,15 @@ def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int,
             precision=precision)
         o_ref[:] = out.astype(o_ref.dtype)
 
+        if not db:
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                copy(t + 1, 0).start()
+
     scratch = [
-        pltpu.VMEM((i_ch, slab_rows, wp), xp.dtype),
+        pltpu.VMEM((n_buf, i_ch, slab_rows, wp), xp.dtype),
         pltpu.VMEM((kh * kw * i_pad, TH, w_out), xp.dtype),
-        pltpu.SemaphoreType.DMA(()),
+        pltpu.SemaphoreType.DMA((n_buf,)),
     ]
 
     grid = (n_tiles,)
@@ -146,32 +173,6 @@ def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int,
     ]
     out_specs = pl.BlockSpec((o_ch, TH, w_out), lambda t: (0, t, 0),
                              memory_space=pltpu.VMEM)
-
-    if i_pad != i_ch:
-        def kernel_padded(x_hbm, wm_ref, o_ref, slab, patches, sem):
-            t = pl.program_id(0)
-            cp = pltpu.make_async_copy(
-                x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
-            cp.start()
-
-            @pl.when(t == 0)
-            def _():
-                patches[:] = jnp.zeros_like(patches)
-
-            cp.wait()
-            for ky in range(kh):
-                for kx in range(kw):
-                    tap = ky * kw + kx
-                    patches[tap * i_pad:tap * i_pad + i_ch] = (
-                        slab[:, ky:ky + TH, kx:kx + w_out])
-            out = jax.lax.dot_general(
-                wm_ref[:], patches[:],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=acc_dtype,
-                precision=precision)
-            o_ref[:] = out.astype(o_ref.dtype)
-
-        kernel = kernel_padded
 
     return pl.pallas_call(
         kernel,
@@ -251,24 +252,37 @@ def _dw_call(xp, g, *, kh: int, kw: int, th: int = TH):
     precision = (jax.lax.Precision.HIGHEST if xp.dtype == jnp.float32
                  else jax.lax.Precision.DEFAULT)
 
+    db = _os.environ.get("MFVI_DIP_CFCONV_DB", "1") != "0"
+    n_buf = 2 if db else 1
+
     def kernel(x_hbm, g_ref, o_ref, slab, patches, sem):
         t = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            x_hbm.at[:, pl.ds(t * TH, slab_rows), :], slab, sem)
-        cp.start()
+        cur = t % n_buf
+
+        def copy(idx, buf):
+            return pltpu.make_async_copy(
+                x_hbm.at[:, pl.ds(idx * TH, slab_rows), :],
+                slab.at[buf], sem.at[buf])
 
         @pl.when(t == 0)
         def _():
             if i_pad != i_ch:
                 patches[:] = jnp.zeros_like(patches)
             o_ref[:] = jnp.zeros_like(o_ref)
+            copy(0, 0).start()
 
-        cp.wait()
+        if db:
+            # prefetch t+1 into the other buffer while t computes
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                copy(t + 1, (t + 1) % n_buf).start()
+
+        copy(t, cur).wait()
         for ky in range(kh):
             for kx in range(kw):
                 tap = ky * kw + kx
                 patches[tap * i_pad:tap * i_pad + i_ch] = (
-                    slab[:, ky:ky + TH, kx:kx + w_run])
+                    slab[cur, :, ky:ky + TH, kx:kx + w_run])
         # explicit f32 promotion: this dot contracts BOTH operands on their
         # lane dim (an A @ B^T), for which Mosaic inserts an operand
         # transpose — its implicit bf16->f32 vector.broadcast there does not
@@ -282,6 +296,13 @@ def _dw_call(xp, g, *, kh: int, kw: int, th: int = TH):
             precision=precision)
         o_ref[:] += contrib
 
+        if not db:
+            # serial mode: start the next copy only after this tile's
+            # compute consumed the single buffer
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                copy(t + 1, 0).start()
+
     return pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -294,9 +315,9 @@ def _dw_call(xp, g, *, kh: int, kw: int, th: int = TH):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((kk, o_ch), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((i_ch, slab_rows, wp), xp.dtype),
+            pltpu.VMEM((n_buf, i_ch, slab_rows, wp), xp.dtype),
             pltpu.VMEM((kk, TH, w_run), xp.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((n_buf,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * kk * o_ch * h_run * w_run,
