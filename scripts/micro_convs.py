@@ -24,6 +24,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
+    ap.add_argument("--impl", default="xla", choices=["xla", "cf"],
+                    help="xla: NHWC conv_general_dilated (round-2 baseline); "
+                         "cf: the production channels-first pallas path "
+                         "(ops/pallas/cf_conv.conv2d_cf_pallas, zero pad)")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,15 +84,25 @@ def main(argv=None):
     rng = np.random.default_rng(0)
     total = {"fwd": 0.0, "fb": 0.0}
     for label, r, cin, cout, k, stride, h_in in sites:
-        x = jnp.asarray(rng.normal(size=(1, h_in, h_in, cin)), dt)
-        w = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05, dt)
-        dimn = jax.lax.conv_dimension_numbers(
-            x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
-        pad = [(k // 2, k // 2)] * 2 if stride == 1 else [(1, 1)] * 2
+        if args.impl == "cf":
+            from mfvi_dip_mia_tpu.ops.pallas.cf_conv import conv2d_cf_pallas
+            x = jnp.asarray(rng.normal(size=(1, cin, h_in, h_in)), dt)
+            w = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05, dt)
+            padding = k // 2 if stride == 1 else 1
 
-        def conv(xx, ww):
-            return jax.lax.conv_general_dilated(
-                xx, ww, (stride, stride), pad, dimension_numbers=dimn)
+            def conv(xx, ww, _s=stride, _p=padding):
+                return conv2d_cf_pallas(xx, ww, None, _s, _p,
+                                        pad_mode="zero")
+        else:
+            x = jnp.asarray(rng.normal(size=(1, h_in, h_in, cin)), dt)
+            w = jnp.asarray(rng.normal(size=(k, k, cin, cout)) * 0.05, dt)
+            dimn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            pad = [(k // 2, k // 2)] * 2 if stride == 1 else [(1, 1)] * 2
+
+            def conv(xx, ww):
+                return jax.lax.conv_general_dilated(
+                    xx, ww, (stride, stride), pad, dimension_numbers=dimn)
 
         def fwd(c, i, _w=w):
             y = conv(c, _w)
@@ -99,9 +113,12 @@ def main(argv=None):
         ms_f = scan_time(f"fwd  {label}", fwd, x)
 
         def fb(c, i, _w=w):
-            g = jax.grad(lambda xx: jnp.sum(conv(xx, _w).astype(
-                jnp.float32) ** 2).astype(jnp.float32))(c)
-            return c + g.astype(c.dtype) * 1e-9
+            def loss(xx, ww):
+                return jnp.sum(conv(xx, ww).astype(jnp.float32) ** 2)
+            gx, gw = jax.grad(loss, argnums=(0, 1))(c, _w)
+            # keep both grads live (1e-20 scale: not constant-folded away)
+            return (c + gx.astype(c.dtype) * 1e-9
+                    + jnp.sum(gw).astype(c.dtype) * 1e-20)
 
         ms_b = scan_time(f"f+b  {label}", fb, x)
         total["fwd"] += ms_f
