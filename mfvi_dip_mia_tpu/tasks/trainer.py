@@ -369,6 +369,7 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
                  # flip them between fits in one process)
                  os.environ.get("MFVI_DIP_FLAT_SAMPLE", "1"),
                  os.environ.get("MFVI_DIP_FUSED_BLOCK", "1"),
+                 os.environ.get("MFVI_DIP_FUSED_ADAMW", "1"),
                  problem.gt.shape, problem.target.shape,
                  None if problem.mask is None else problem.mask.shape,
                  # op_state may be any pytree (dense matrix, banded blocks...)
@@ -397,7 +398,12 @@ def _get_init_fn(problem: Problem, method_name: str, optimizer,
     dispatches (tens of seconds through a remote-TPU tunnel); fused it is one.
     Cached per (net, method) like the chunk runner."""
     per_net = _net_cache(problem.net)
-    cache_key = ("init", method_name, init_normal_std)
+    # the optimizer gate is part of the key: the fused flat AdamW's
+    # inject_hyperparams state carries kl_temp/kl_prior_sigma slots that the
+    # plain optax.adamw factory rejects (and vice versa misses), so an
+    # opt_state initialized under one gate must never be reused by the other
+    cache_key = ("init", method_name, init_normal_std,
+                 os.environ.get("MFVI_DIP_FUSED_ADAMW", "1"))
     if cache_key in per_net:
         return per_net[cache_key]
 

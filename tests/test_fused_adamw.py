@@ -111,7 +111,14 @@ def test_kl_gradient_matches_autodiff():
 
 def test_trainer_fused_matches_unfused(monkeypatch):
     """End-to-end: a tiny den/mfvi fit produces the same trajectory with the
-    fused optimizer as with optax.flatten(adamw) + autodiff KL."""
+    fused optimizer as with optax.flatten(adamw) + autodiff KL.
+
+    The MFVI_DIP_FUSED_ADAMW gate must be part of the trainer's run-chunk
+    AND init cache keys: without it the second run reuses the first run's
+    compiled chunk (whose closure captures the other optimizer) and its
+    opt_state — either a vacuous comparison, or (fused state into plain
+    optax.adamw, the order a prior test in the suite sets up) a TypeError
+    from inject_hyperparams passing kl_prior_sigma to adamw()."""
     import mfvi_dip_mia_tpu.tasks.problems as P
     from mfvi_dip_mia_tpu.nn import build_skip_net
     from mfvi_dip_mia_tpu.tasks import build_problem
