@@ -44,8 +44,11 @@ def make_elbo_step(apply_fn: Callable, optimizer, prior_sigma: float,
             logits = apply_fn(p, x, key=key, training=True)
             nll = loss_fn(logits, y)
             kl = vi.kl_mfvi(p, 0.0, prior_sigma)
+            # batch_idx is traced: the Blundell warm-up 2^(M-i)/(2^M-1)
+            # (BayTorch/inference/utils.py:44-60) must advance per batch
+            # within an epoch, not stay frozen at i=0.
             beta = get_beta(beta_type, m=n_batches,
-                            batch_idx=0) if isinstance(beta_type, str) \
+                            batch_idx=batch_idx) if isinstance(beta_type, str) \
                 else beta_type
             return nll + beta * kl, logits
 

@@ -130,7 +130,9 @@ def get_beta(beta_type, epoch: int | None = None, num_epochs: int | None = None,
     'Blundell' 2^(M-i)/(2^M-1), 'Soenderby' min(epoch/(n//4), 1), 'Standard'
     1/M, else constant beta."""
     if beta_type == "Blundell":
-        return 2 ** (m - (batch_idx + 1)) / (2 ** m - 1)
+        # float exponentiation: batch_idx may be a traced int32 inside jit,
+        # where 2 ** (m - i) would overflow for m > 31
+        return 2.0 ** (m - (batch_idx + 1)) / (2.0 ** m - 1.0)
     if beta_type == "Soenderby":
         if epoch is None or num_epochs is None:
             raise ValueError("Soenderby schedule needs epoch/num_epochs")
