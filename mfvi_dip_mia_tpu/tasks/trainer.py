@@ -168,6 +168,9 @@ class FitResult:
     iters_per_sec: float
     compile_seconds: float
     final_psnr: float              # psnrs[-1, 2]: the BO objective (ref :1444)
+    executed: int = 0              # iterations actually run (< num_iter when
+                                   # early_stop fired)
+    wall_seconds: float = 0.0      # total fit wall incl. compile/dispatch
 
 
 def _tree_select(pred, a, b):
@@ -727,7 +730,8 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
         recons=recons, uncerts_epi=unc_epi, uncerts_ale=unc_ale,
         params=jax.device_get(state.params), net_input=z_np,
         iters_per_sec=iters_per_sec, compile_seconds=compile_s,
-        final_psnr=final_psnr)
+        final_psnr=final_psnr, executed=int(executed),
+        wall_seconds=float(total_s))
 
 
 def fit_interleaved(problem: Problem, methods, *, num_iter: int, lr: float,
@@ -861,5 +865,6 @@ def fit_interleaved(problem: Problem, methods, *, num_iter: int, lr: float,
             # first-chunk iterations are inside compile_s (see fit):
             # exclude them from the steady-state numerator too
             iters_per_sec=max(executed[j] - min(chunk, num_iter), 0) / steady,
-            compile_seconds=compile_s, final_psnr=final))
+            compile_seconds=compile_s, final_psnr=final,
+            executed=int(executed[j]), wall_seconds=float(total_s)))
     return results
