@@ -26,6 +26,12 @@ def main(argv=None):
     parser.add_argument("--num-iter", type=int, default=None,
                         help="override run_params.num_iter (smoke runs)")
     parser.add_argument("--metrics-every", type=int, default=None)
+    parser.add_argument("--screen-iters", type=int, default=None,
+                        help="run BO rounds at this reduced fit budget and "
+                             "confirm the winner with one full-budget fit "
+                             "(the measured <1h sweep mode; rank-fidelity "
+                             "evidence: bo_results/mfvi_ct_timed/"
+                             "rank_vs_budget.json)")
     parser.add_argument("--dist-coordinator", type=str, default=None,
                         help="host0:port — launch the identical command on "
                              "every host of a pod slice to fan BO candidates "
@@ -53,7 +59,8 @@ def main(argv=None):
         run_params["metrics_every"] = args.metrics_every
     bo(task=args.task, bayes=args.bayes, bo_params=bo_params,
        run_params=run_params, n_rounds=args.rounds,
-       plot=not args.no_plot, resume=args.resume)
+       plot=not args.no_plot, resume=args.resume,
+       screen_iters=args.screen_iters)
 
 
 if __name__ == "__main__":

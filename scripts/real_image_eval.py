@@ -25,14 +25,20 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_one(task: str, iters: int, out_root: str) -> dict:
+def run_one(task: str, iters: int, out_root: str,
+            hp_override: dict | None = None) -> dict:
     from mfvi_dip_mia_tpu.tasks.runners import run_task
     from mfvi_dip_mia_tpu.tasks.evaluation import (summarize_run,
                                                    calibration_from_run)
 
     save_path = os.path.join(out_root, task)
+    # defaults: the reference's pinned optima for OTHER images
+    # (test_configs/mfvi_den.json img 5, test_mfvi_ct.json) — override with
+    # img-9-tuned values from the bo_mfvi_den_img9 sweep when available
     hp = {"den": dict(temp=5.66e-7, sigma=1.46e-5),
           "ct": dict(temp=2.2e-10, sigma=1.7e-7)}[task]
+    if hp_override:
+        hp.update(hp_override)
     final = run_task(task, "mfvi", img=9, num_iter=iters, lr=1e-3, seed=1,
                      show_every=500, metrics_every=10, chunk_iters=500,
                      plot=False, save=True, save_path=save_path, **hp)
@@ -55,6 +61,10 @@ def main(argv=None):
     ap.add_argument("--ct-iters", type=int, default=None,
                     help="default: 2x --iters (reference CT budget ratio)")
     ap.add_argument("--tasks", nargs="+", default=["den", "ct"])
+    ap.add_argument("--den-temp", type=float, default=None,
+                    help="img-9-tuned denoising temp (bo_mfvi_den_img9)")
+    ap.add_argument("--den-sigma", type=float, default=None,
+                    help="img-9-tuned denoising sigma (bo_mfvi_den_img9)")
     ap.add_argument("--out", default="logs/real_image_eval")
     args = ap.parse_args(argv)
 
@@ -65,7 +75,14 @@ def main(argv=None):
     for task in args.tasks:
         iters = (args.ct_iters or 2 * args.iters) if task == "ct" \
             else args.iters
-        rows.append(run_one(task, iters, args.out))
+        hp = None
+        if task == "den" and (args.den_temp or args.den_sigma):
+            hp = {}
+            if args.den_temp:
+                hp["temp"] = args.den_temp
+            if args.den_sigma:
+                hp["sigma"] = args.den_sigma
+        rows.append(run_one(task, iters, args.out, hp))
         print(json.dumps(rows[-1]), flush=True)
     with open(os.path.join(args.out, "rows.json"), "w") as f:
         json.dump(rows, f, indent=2)

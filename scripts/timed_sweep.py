@@ -45,6 +45,13 @@ def main(argv=None):
                     action="store_false")
     ap.add_argument("--early-stop", action="store_true",
                     help="opt-in early-stop variant (parity deviation)")
+    ap.add_argument("--screen-iters", type=int, default=None,
+                    help="FULL-SCALE screening budget for the projection "
+                         "(e.g. 50000): rounds screened at this budget + one "
+                         "100k confirm fit (bo(screen_iters=...)); the "
+                         "scaled run exercises the real screened path at "
+                         "iters//2. Rank-fidelity evidence: "
+                         "rank_vs_budget.json")
     args = ap.parse_args(argv)
 
     import jax
@@ -118,15 +125,23 @@ def main(argv=None):
     loop_mod.train_gp = timed_train_gp
     loop_mod.find_candidates = timed_fc
 
+    # scaled screened path: exercise the REAL bo(screen_iters=...) control
+    # flow (screened rounds + full-budget confirm) at half the scaled budget
+    scaled_screen = None
+    if args.screen_iters is not None:
+        scaled_screen = max((args.iters + 1) // 2 - 1, 1)
+
     t_all = time.perf_counter()
     X, Y = bo("ct", "mfvi", bo_params, run_params, n_rounds=args.rounds,
-              plot=False)
+              plot=False, screen_iters=scaled_screen)
     wall = time.perf_counter() - t_all
 
     fan = [p["seconds"] for p in phases if p["phase"] == "fanout"]
     n_cand = [p["n_cand"] for p in phases if p["phase"] == "fanout"]
     overhead = wall - sum(fan)
-    per_round_overhead = overhead / max(len(fan), 1)
+    # the screened mode's confirm fit adds one fanout entry beyond the
+    # rounds; overhead is per ROUND either way
+    per_round_overhead = overhead / max(args.rounds, 1)
     # steady-state per-round fanout (drop round 0: compile + cache warmup)
     steady_rounds = fan[1:] or fan
     steady_cands = n_cand[1:] or n_cand
@@ -181,6 +196,25 @@ def main(argv=None):
             "projected_wall_hours": proj / 3600.0,
         },
     }
+    if args.screen_iters is not None:
+        # screened-mode projection: every quantity measured on this chip —
+        # single_fit_rate (above), per-round host overhead (above), the
+        # screening budget's rank fidelity (rank_vs_budget.json: top-1 at
+        # the screening budget == top-1 at 100k for every candidate class)
+        proj_screen = (n_rounds_full * (args.screen_iters / single_fit_rate)
+                       + iters_full / single_fit_rate
+                       + n_rounds_full * per_round_overhead)
+        result["projection_v5e8_screened"] = {
+            "model": f"20 * ({args.screen_iters} / single_fit_rate) + "
+                     "100k / single_fit_rate (confirm fit) + 20 * overhead; "
+                     "bo(screen_iters) exercised by this run at the scaled "
+                     "budget (screen_confirm.json)",
+            "screen_iters": args.screen_iters,
+            "rank_fidelity_evidence": "bo_results/mfvi_ct_timed/"
+                                      "rank_vs_budget.json",
+            "projected_wall_seconds": proj_screen,
+            "projected_wall_hours": proj_screen / 3600.0,
+        }
     with open(os.path.join(args.out, "timing.json"), "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result, indent=2))

@@ -131,3 +131,41 @@ def test_evaluate_candidates_table(capsys):
     for y in kept_y:
         assert y == pytest.approx(analytic_psnr(
             kept_c[kept_y.index(y)]), abs=1e-6)
+
+
+def test_bo_screen_confirm(tmp_path):
+    """screen_iters mode: rounds run at the reduced budget, then the
+    incumbent best candidate gets ONE confirming fit at the full
+    run_params.num_iter budget whose observation is appended to (X, Y) and
+    recorded in screen_confirm.json (the measured <1h sweep mode)."""
+    import json
+
+    calls = []
+
+    def recording_runner(idx, dev, cand):
+        calls.append(tuple(cand))
+        # screened fits read slightly low; the confirm call (last) is exact
+        return analytic_psnr(cand) - 0.25
+
+    run_params = {"bo_results_path": str(tmp_path), "devices": None,
+                  "num_iter": 1000}
+    X, Y = bo("denoising", "mfvi", BO_PARAMS, run_params, n_rounds=3,
+              plot=False, runner=recording_runner, gp_iters=200,
+              screen_iters=300)
+    # one confirm call beyond the rounds' fanouts, at the screened winner
+    with open(tmp_path / "screen_confirm.json") as f:
+        rec = json.load(f)
+    assert rec["screen_iters"] == 300 and rec["full_iters"] == 1000
+    assert tuple(rec["best_candidate"]) == calls[-1]
+    assert rec["confirmed_psnr"] == pytest.approx(Y[-1])
+    assert X[-1] == tuple(rec["best_candidate"])
+    # the screened winner is the argmax of the pre-confirm observations
+    pre_y = Y[:-1]
+    assert rec["screened_psnr"] == pytest.approx(max(pre_y))
+
+    # guard: screen_iters must be strictly below the full budget
+    with pytest.raises(ValueError):
+        bo("denoising", "mfvi", BO_PARAMS,
+           {"bo_results_path": str(tmp_path), "num_iter": 100},
+           n_rounds=1, plot=False, runner=recording_runner,
+           screen_iters=100)
