@@ -81,8 +81,14 @@ def posterior_mean_params(params):
     return _map_conv_leaves(params, collapse, jax.random.PRNGKey(0))
 
 
-def sample_mfvi_tree(params, key):
+def sample_mfvi_tree(params, key, out_dtype=None):
     """One fused RT draw for the WHOLE parameter tree.
+
+    ``out_dtype`` (e.g. bfloat16) casts the sampled flat vector ONCE inside
+    the draw fusion — the mixed-precision path then avoids a separate
+    per-leaf f32->bf16 convert for every variational mu/rho leaf (~2 ops
+    per conv site in the scanned step's HLO), and softplus(rho) runs at
+    full f32 before the cast.
 
     Replaces every variational leaf with a sampled deterministic leaf
     ``{'w': mu + softplus(rho) * eps, 'b': ...}`` so ``apply()`` runs its
@@ -108,6 +114,8 @@ def sample_mfvi_tree(params, key):
     rho = jnp.concatenate([r.reshape(-1) for _, r in pairs])
     eps = jax.random.normal(key, mu.shape, mu.dtype)
     flat = mu + jax.nn.softplus(rho) * eps
+    if out_dtype is not None:
+        flat = flat.astype(out_dtype)
 
     offs = [0]
     for s in sizes:

@@ -222,16 +222,32 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
             # optional reduced-precision forward/backward: bf16 activations
             # and weights ride the MXU at ~1.5x; master params, the KL and
             # the loss itself stay f32 (mixed-precision recipe)
-            if compute_dtype != jnp.float32:
-                p_c = jax.tree.map(
+            def cast_tree(t):
+                return jax.tree.map(
                     lambda a: a.astype(compute_dtype)
                     if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
-                    p)
-                x_c = x.astype(compute_dtype)
+                    t)
+
+            if flat_sample:
+                # sample on the f32 master tree with the compute-dtype cast
+                # fused into the flat draw: ONE convert of the concatenated
+                # vector instead of per-leaf mu/rho casts (the <=16384-elem
+                # convert population in the step HLO), and softplus(rho) at
+                # full f32. The residual cast_tree covers only the
+                # non-variational leaves (BN affine, plain-conv sites).
+                p_c = vi.sample_mfvi_tree(
+                    p, k_net,
+                    out_dtype=(None if compute_dtype == jnp.float32
+                               else compute_dtype))
+                if compute_dtype != jnp.float32:
+                    p_c = cast_tree(p_c)
+                    x_c = x.astype(compute_dtype)
+                else:
+                    x_c = x
+            elif compute_dtype != jnp.float32:
+                p_c, x_c = cast_tree(p), x.astype(compute_dtype)
             else:
                 p_c, x_c = p, x
-            if flat_sample:
-                p_c = vi.sample_mfvi_tree(p_c, k_net)
             out = net.apply(p_c, x_c, key=k_net, training=True,
                             reparam=reparam,
                             dropout_p=hp.dropout_p if is_mcd else None,

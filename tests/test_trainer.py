@@ -251,3 +251,34 @@ def test_fanout_sp_split_matches_plain(small_nets):
                                  [jax.devices()[0]], interleave=False)
     assert kept_sp == kept_p
     np.testing.assert_allclose(y_sp, y_p, atol=0.1)
+
+
+def test_bf16_compute_path_learns(small_nets):
+    """compute_dtype=bf16 with the fused flat draw: the sampled flat vector
+    is cast ONCE inside sample_mfvi_tree (out_dtype) instead of per-leaf
+    mu/rho converts; the fit must learn and stay finite, and the sampled
+    leaves must match the f32 draw within bf16 resolution."""
+    import jax
+    import jax.numpy as jnp
+    from mfvi_dip_mia_tpu.bayes import vi, to_mfvi
+    from mfvi_dip_mia_tpu.nn import init as init_lib
+
+    # leaf-level: out_dtype draw == f32 draw rounded to bf16
+    tree = to_mfvi({"l": {"w": init_lib.conv_kernel_torch_default(
+        jax.random.PRNGKey(0), 3, 3, 4, 8), "b": jnp.zeros((8,))}},
+        jax.random.PRNGKey(1))
+    k = jax.random.PRNGKey(7)
+    s32 = vi.sample_mfvi_tree(tree, k)
+    s16 = vi.sample_mfvi_tree(tree, k, out_dtype=jnp.bfloat16)
+    assert s16["l"]["w"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(s32["l"]["w"], np.float32),
+        np.asarray(s16["l"]["w"], np.float32), rtol=0, atol=0.01)
+
+    # end-to-end: a bf16 MFVI fit learns (finite, improving)
+    problem = build_problem("den", "mfvi", 0, input_depth=8)
+    method = Method(name="mfvi", temp=1e-6, sigma=1e-3)
+    res = fit(problem, method, num_iter=100, lr=3e-3, seed=1, show_every=50,
+              compute_dtype=jnp.bfloat16)
+    assert np.isfinite(res.final_psnr)
+    assert res.final_psnr > res.psnrs[2, 2]
