@@ -187,7 +187,11 @@ def _conv_call(xp, wmat, *, kh: int, kw: int, h_out: int, w_out: int,
             * xp.dtype.itemsize,
             transcendentals=0),
         compiler_params=(None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=10 * 1024 * 1024,
+            # 24M, not the conservative 10M: wide-concat sites (i_ch=132) at
+            # f32 need a ~16M Mosaic stack frame even at th=8 (v5e VMEM is
+            # 128M/core; the bf16 production path stays well under 10M either
+            # way). 10M OOM'd bench --metric train (f32/auto) at 256^2.
+            vmem_limit_bytes=24 * 1024 * 1024,
             dimension_semantics=("arbitrary",))),
         interpret=_interpret(),
     )(xp, wmat)
@@ -324,7 +328,11 @@ def _dw_call(xp, g, *, kh: int, kw: int, th: int = TH):
             bytes_accessed=(xp.size + g.size) * xp.dtype.itemsize,
             transcendentals=0),
         compiler_params=(None if _interpret() else pltpu.CompilerParams(
-            vmem_limit_bytes=10 * 1024 * 1024,
+            # 24M, not the conservative 10M: wide-concat sites (i_ch=132) at
+            # f32 need a ~16M Mosaic stack frame even at th=8 (v5e VMEM is
+            # 128M/core; the bf16 production path stays well under 10M either
+            # way). 10M OOM'd bench --metric train (f32/auto) at 256^2.
+            vmem_limit_bytes=24 * 1024 * 1024,
             dimension_semantics=("arbitrary",))),
         interpret=_interpret(),
     )(xp, g)
