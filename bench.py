@@ -154,25 +154,34 @@ def main(argv=None):
                                            jax.random.fold_in(k, 1)))(key)
         z = jnp.asarray(get_noise(16, (size, size),
                                   rng=np.random.default_rng(0)))
-        S = 32
+        # ONE big lax.map draw per dispatch: the remote relay charges
+        # ~100-300 ms per dispatch, so the old 10 x 32-sample calls measured
+        # relay latency (121/s), not device compute (the lax.map path itself
+        # measured ~899/s at 256^2, bayes/uncertainty.py::mc_predict)
+        S = 320 if args.quick else 1280
         f = jax.jit(lambda p, k: mc_predict(
             lambda p, x, key: problem.net.apply(p, x, key=key, training=True),
             p, z, k, S))
         def sync(o):
             # block_until_ready through the remote relay can return before
-            # compute finishes — only a real value fetch synchronizes
-            return np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+            # compute finishes — only a real value fetch synchronizes. Slice
+            # ON DEVICE first: np.asarray on the stacked samples would pull
+            # the full (S,1,H,W,C) tensor (hundreds of MB) through the HTTP
+            # tunnel and time the network, not the chip.
+            leaf = jax.tree.leaves(o)[0]
+            # integer indexing, NOT reshape(-1): a flat reshape of the tiled
+            # (S,1,H,W,C) layout compiles to a full relayout copy (40 GB at
+            # S=1280)
+            return float(leaf[(0,) * leaf.ndim])
 
         out = f(params, key)
         sync(out)
-        n_rep = 3 if args.quick else 10
         t0 = time.perf_counter()
-        for i in range(n_rep):
-            # fresh keys each call: the remote-TPU relay memoizes identical
-            # (executable, args) requests, which would fake the timing
-            out = f(params, jax.random.fold_in(key, i))
+        # fresh key: the remote-TPU relay memoizes identical
+        # (executable, args) requests, which would fake the timing
+        out = f(params, jax.random.fold_in(key, 1))
         sync(out)
-        sps = S * n_rep / (time.perf_counter() - t0)
+        sps = S / (time.perf_counter() - t0)
         # reference: sequential single-sample forwards on its GPU (~60/s est.)
         print(json.dumps({
             "metric": f"mfvi_mc_posterior_samples_per_sec_{size}x{size}",
