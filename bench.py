@@ -176,12 +176,19 @@ def main(argv=None):
 
         out = f(params, key)
         sync(out)
+        # 3 back-to-back dispatches (fresh keys each — the remote-TPU relay
+        # memoizes identical (executable, args) requests) with ONE value
+        # fetch at the end: a single-repetition window included ~2 relay
+        # round-trips (~100-300 ms each) of fixed latency, which at --quick
+        # (S=320, <1 s compute) deflated the rate substantially (ADVICE r4).
+        reps = 3
         t0 = time.perf_counter()
-        # fresh key: the remote-TPU relay memoizes identical
-        # (executable, args) requests, which would fake the timing
-        out = f(params, jax.random.fold_in(key, 1))
-        sync(out)
-        sps = S / (time.perf_counter() - t0)
+        outs = [f(params, jax.random.fold_in(key, 1 + r))
+                for r in range(reps)]
+        # dispatches execute in order on the single device stream, so
+        # syncing the LAST one bounds all three; one fetch round-trip total
+        sync(outs[-1])
+        sps = reps * S / (time.perf_counter() - t0)
         # reference: sequential single-sample forwards on its GPU (~60/s est.)
         print(json.dumps({
             "metric": f"mfvi_mc_posterior_samples_per_sec_{size}x{size}",

@@ -130,9 +130,12 @@ def get_beta(beta_type, epoch: int | None = None, num_epochs: int | None = None,
     'Blundell' 2^(M-i)/(2^M-1), 'Soenderby' min(epoch/(n//4), 1), 'Standard'
     1/M, else constant beta."""
     if beta_type == "Blundell":
-        # float exponentiation: batch_idx may be a traced int32 inside jit,
-        # where 2 ** (m - i) would overflow for m > 31
-        return 2.0 ** (m - (batch_idx + 1)) / (2.0 ** m - 1.0)
+        # Overflow-free equivalent of 2^(M-i)/(2^M-1): the naive form
+        # computes 2.0**(m - i) which hits f32 inf for m - i >= 128 when
+        # batch_idx is traced (realistic: 391 batches/epoch) and raises
+        # OverflowError untraced for m > 1024. 2^(-i)/(1 - 2^(-M)) keeps
+        # every exponent small and merely underflows to 0 for late batches.
+        return 2.0 ** (-(batch_idx + 1.0)) / (1.0 - 2.0 ** (-float(m)))
     if beta_type == "Soenderby":
         if epoch is None or num_epochs is None:
             raise ValueError("Soenderby schedule needs epoch/num_epochs")

@@ -627,7 +627,12 @@ def fit(problem: Problem, method: Method, *, num_iter: int, lr: float,
     if shardings is not None:
         # spatial ('sp') model parallelism: committed input shardings steer
         # GSPMD's partitioning of the jit'd chunk (parallel/sharding.py::
-        # sp_shardings builds the tree; fit_sp is the entry point)
+        # sp_shardings builds the tree; fit_sp is the entry point). A
+        # callable receives THIS state as the shape template — fit_sp uses
+        # that to avoid a duplicated prepare_fit and any template/actual
+        # desync.
+        if callable(shardings):
+            shardings = shardings(state)
         state = jax.device_put(state, shardings["state"])
         data = {k: (jax.device_put(v, shardings["data"][k])
                     if v is not None else None)

@@ -98,6 +98,7 @@ def main(argv=None):
         out = orig_rc(task, bayes, candidates, rp, devices, runner,
                       use_spmd, "auto" if args.interleave else False, **kw)
         phases.append({"phase": "fanout", "n_cand": len(candidates),
+                       "num_iter": int(rp.get("num_iter", args.iters)),
                        "seconds": time.perf_counter() - t0})
         return out
 
@@ -129,24 +130,33 @@ def main(argv=None):
     # flow (screened rounds + full-budget confirm) at half the scaled budget
     scaled_screen = None
     if args.screen_iters is not None:
-        scaled_screen = max((args.iters + 1) // 2 - 1, 1)
+        # align to whole chunks like args.iters above, so the per-entry
+        # num_iter recorded in phases equals the iterations that execute
+        scaled_screen = max(((args.iters + 1) // 2 // chunk) * chunk - 1,
+                            chunk - 1)
+        if scaled_screen >= args.iters:  # tiny single-chunk smokes
+            scaled_screen = max((args.iters + 1) // 2 - 1, 1)
 
     t_all = time.perf_counter()
     X, Y = bo("ct", "mfvi", bo_params, run_params, n_rounds=args.rounds,
               plot=False, screen_iters=scaled_screen)
     wall = time.perf_counter() - t_all
 
-    fan = [p["seconds"] for p in phases if p["phase"] == "fanout"]
-    n_cand = [p["n_cand"] for p in phases if p["phase"] == "fanout"]
+    fan_entries = [p for p in phases if p["phase"] == "fanout"]
+    fan = [p["seconds"] for p in fan_entries]
+    n_cand = [p["n_cand"] for p in fan_entries]
     overhead = wall - sum(fan)
     # the screened mode's confirm fit adds one fanout entry beyond the
     # rounds; overhead is per ROUND either way
     per_round_overhead = overhead / max(args.rounds, 1)
-    # steady-state per-round fanout (drop round 0: compile + cache warmup)
-    steady_rounds = fan[1:] or fan
-    steady_cands = n_cand[1:] or n_cand
-    sec_per_cand_iter = (sum(steady_rounds)
-                         / (sum(steady_cands) * (args.iters + 1)))
+    # steady-state per-round fanout (drop round 0: compile + cache warmup).
+    # Each entry is normalized by ITS OWN executed iteration count
+    # (num_iter+1): in screened mode rounds run at ~half budget while the
+    # confirm entry runs at full — dividing everything by args.iters+1
+    # overstated the aggregate rate ~2x (ADVICE r4).
+    steady = fan_entries[1:] or fan_entries
+    total_cand_iters = sum(p["n_cand"] * (p["num_iter"] + 1) for p in steady)
+    sec_per_cand_iter = sum(p["seconds"] for p in steady) / total_cand_iters
     # one-chip aggregate rate over however many candidates ran concurrently
     agg_rate = 1.0 / sec_per_cand_iter
 
