@@ -57,12 +57,32 @@ def conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
 
 def batch_norm_train(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
                      eps: float = 1e-5) -> jnp.ndarray:
-    """BatchNorm2d train mode on NCHW (biased batch stats over N, H, W)."""
-    mean = jnp.mean(x, axis=(0, 2, 3), keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=(0, 2, 3), keepdims=True)
+    """BatchNorm2d train mode on NCHW (biased batch stats over N, H, W).
+
+    One-pass moments: E[x] and E[x^2] are sibling reduces XLA fuses into a
+    single read of x (the (x-mean)^2 form costs a third full HBM pass —
+    round-5 profile: BN lines were 26% of the while-body's modeled cycles).
+    var = E[x^2] - mean^2 in f32 accumulators is torch's own train-mode
+    accumulator form; the normalization collapses to one multiply-add with
+    per-channel a = inv*scale, b = offset - mean*inv*scale."""
+    xf = x.astype(jnp.float32)
+    # per-channel shift from a cheap 8-row slice: E[(x-c)^2] - E[x-c]^2 is
+    # exact algebra for any c, and c ~= mean kills the f32 cancellation the
+    # raw E[x^2] - mean^2 form suffers under large channel means (the
+    # bias-before-BN identity test drives |mean| ~ 50)
+    c = jax.lax.stop_gradient(
+        jnp.mean(xf[:, :, :8, :], axis=(0, 2, 3), keepdims=True))
+    xc = xf - c
+    mean_c = jnp.mean(xc, axis=(0, 2, 3), keepdims=True)
+    ex2 = jnp.mean(xc * xc, axis=(0, 2, 3), keepdims=True)
+    var = jnp.maximum(ex2 - mean_c * mean_c, 0.0)
+    mean = c + mean_c
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * scale[None, :, None, None] \
-        + offset[None, :, None, None]
+    sc = scale[None, :, None, None].astype(jnp.float32)
+    a = (inv * sc).astype(x.dtype)
+    b = (offset[None, :, None, None].astype(jnp.float32)
+         - mean * inv * sc).astype(x.dtype)
+    return x * a + b
 
 
 def reflection_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -147,21 +167,27 @@ def concat_center_crop(xs: list[jnp.ndarray]) -> jnp.ndarray:
 
 # -- variational conv-leaf application (CF twin of nn/var_conv.py) ----------
 
-def _conv_hot(x, w, b, stride, padding):
+def _conv_hot(x, w, b, stride, padding, pad_mode="zero"):
     """Conv dispatch for the CF path: the pallas valid kernel when the shape
     qualifies (it removes the conv op from XLA's layout assignment — see
     ops/pallas/cf_conv.py), else the XLA NCHW conv. Toggle off with
-    MFVI_DIP_PALLAS_CF=0 for A/B runs."""
+    MFVI_DIP_PALLAS_CF=0 for A/B runs. ``pad_mode='reflection'`` applies
+    torch ReflectionPad2d semantics inside the conv (the pallas path merges
+    it with the alignment pad into ONE materialization)."""
     import os
     if os.environ.get("MFVI_DIP_PALLAS_CF", "1") != "0":
         from ..ops.pallas.cf_conv import conv2d_cf_pallas
-        return conv2d_cf_pallas(x, w, b, stride, padding, pad_mode="zero")
+        return conv2d_cf_pallas(x, w, b, stride, padding, pad_mode=pad_mode)
+    if padding and pad_mode == "reflection":
+        x = reflection_pad(x, padding)
+        padding = 0
     return conv2d(x, w, b, stride, padding)
 
 
 def apply_conv_leaf_cf(leaf, x, *, stride: int, padding: int, key=None,
                        training: bool = True, reparam: str = "rt",
-                       skip_bias: bool = False) -> jnp.ndarray:
+                       skip_bias: bool = False,
+                       pad_mode: str = "zero") -> jnp.ndarray:
     """NCHW version of var_conv.apply_conv_leaf for 4-D kernels. For RT the
     PRNG consumption (kw, kb split; eps drawn in kernel HWIO shape) is
     identical to the NHWC path, so both paths produce the same samples. For
@@ -171,21 +197,23 @@ def apply_conv_leaf_cf(leaf, x, *, stride: int, padding: int, key=None,
 
     if not is_variational_leaf(leaf):
         return _conv_hot(x, leaf["w"], None if skip_bias else leaf.get("b"),
-                         stride, padding)
+                         stride, padding, pad_mode)
 
     w_mu, w_rho = leaf["w_mu"], leaf["w_rho"]
     b_mu = None if (skip_bias and reparam != "lrt") else leaf.get("b_mu")
     b_rho = leaf.get("b_rho")
 
     if not training:
-        return _conv_hot(x, w_mu, b_mu, stride, padding)
+        return _conv_hot(x, w_mu, b_mu, stride, padding, pad_mode)
     if key is None:
         raise ValueError("variational conv needs a PRNG key when training")
 
     if reparam == "lrt":
-        act_mu = _conv_hot(x, w_mu, b_mu, stride, padding)
+        # reflect(x)^2 == reflect(x^2) pointwise, so the same pad_mode is
+        # correct for the variance conv
+        act_mu = _conv_hot(x, w_mu, b_mu, stride, padding, pad_mode)
         act_var = _conv_hot(x * x, jax.nn.softplus(w_rho) ** 2, None,
-                            stride, padding)
+                            stride, padding, pad_mode)
         if b_rho is not None:
             act_var = act_var + (jax.nn.softplus(b_rho) ** 2)[None, :, None,
                                                               None]
@@ -199,4 +227,4 @@ def apply_conv_leaf_cf(leaf, x, *, stride: int, padding: int, key=None,
     if b_mu is not None:
         b = b_mu + jax.nn.softplus(b_rho) * jax.random.normal(kb, b_mu.shape,
                                                               b_mu.dtype)
-    return _conv_hot(x, w, b, stride, padding)
+    return _conv_hot(x, w, b, stride, padding, pad_mode)

@@ -68,10 +68,24 @@ def batch_norm_train(x: jnp.ndarray, scale: jnp.ndarray, offset: jnp.ndarray,
     """BatchNorm2d in training mode: per-channel stats over (N, H, W) with
     biased variance. The reference never switches the DIP nets to eval mode,
     so live batch statistics are the only semantics we need."""
-    mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
-    var = jnp.mean((x - mean) ** 2, axis=(0, 1, 2), keepdims=True)
+    # one-pass moments in f32 (sibling reduces fuse into a single read of
+    # x; var = E[x^2] - mean^2 is torch's train-mode accumulator form —
+    # see nn/cf.py::batch_norm_train for the profile rationale)
+    xf = x.astype(jnp.float32)
+    # shifted one-pass moments (see nn/cf.py::batch_norm_train): c from a
+    # cheap 8-row slice keeps the E[x^2]-mean^2 form cancellation-free
+    c = jax.lax.stop_gradient(
+        jnp.mean(xf[:, :8], axis=(0, 1, 2), keepdims=True))
+    xc = xf - c
+    mean_c = jnp.mean(xc, axis=(0, 1, 2), keepdims=True)
+    ex2 = jnp.mean(xc * xc, axis=(0, 1, 2), keepdims=True)
+    var = jnp.maximum(ex2 - mean_c * mean_c, 0.0)
+    mean = c + mean_c
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * scale + offset
+    scf = scale.astype(jnp.float32)
+    a = (inv * scf).astype(x.dtype)
+    b = (offset.astype(jnp.float32) - mean * inv * scf).astype(x.dtype)
+    return x * a + b
 
 
 def reflection_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:

@@ -266,9 +266,16 @@ class SkipNet:
     def _conv_site(self, s: ConvSite, leaf, x, key, training, reparam,
                    dropout_p=None, skip_bias=False, ops=_NHWCOps):
         to_pad = (s.kernel - 1) // 2
+        pad_kw = {}
         if s.pad_mode == "reflection":
-            x = ops.reflection_pad(x, to_pad)
-            to_pad = 0
+            if ops.is_cf and to_pad:
+                # CF path: delegate the reflect pad to the conv so the
+                # pallas kernel merges it with its alignment pad into ONE
+                # materialization (ops/pallas/cf_conv.py::conv_pad_cf)
+                pad_kw = {"pad_mode": "reflection"}
+            else:
+                x = ops.reflection_pad(x, to_pad)
+                to_pad = 0
         stride, pool = s.stride, None
         if s.stride != 1 and s.downsample_mode != "stride":
             stride, pool = 1, s.downsample_mode
@@ -283,7 +290,8 @@ class SkipNet:
                     if key is not None else None)
         out = ops.apply_conv_leaf(leaf, x, stride=stride, padding=to_pad,
                                   key=site_key, training=training,
-                                  reparam=reparam, skip_bias=skip_bias)
+                                  reparam=reparam, skip_bias=skip_bias,
+                                  **pad_kw)
         if s.dropout_mode != "None" and training:
             if site_key is None:
                 raise ValueError("dropout needs a PRNG key")

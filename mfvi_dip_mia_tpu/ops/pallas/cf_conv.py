@@ -370,10 +370,11 @@ def _bwd(kdims, res, g):
     xp, w = res
     kh, kw = kdims
     # dx: full correlation = valid conv of the zero-padded cotangent with the
-    # flipped, in/out-transposed kernel — the same pallas kernel.
-    gp = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1)))
+    # flipped, in/out-transposed kernel — the same pallas kernel, via the
+    # one-pad helper (the (kh-1) pad and the alignment pad fuse into one).
     w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))   # (kh,kw,O,I)
-    dx = conv_valid_cf(gp.astype(xp.dtype), w_flip.astype(xp.dtype), kdims)
+    dx, _ = _conv_one_pad(g.astype(xp.dtype), w_flip.astype(xp.dtype),
+                          kh, kw, kh - 1, "constant")
     if _os.environ.get("MFVI_DIP_FUSED_DW", "1") != "0":
         dw = dw_valid_cf(xp, g.astype(xp.dtype), kdims).astype(w.dtype)
         return dx, dw
@@ -398,6 +399,114 @@ def _bwd(kdims, res, g):
 
 
 conv_valid_cf.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# One-pad padded conv: semantic (reflect/zero) + Mosaic alignment padding in
+# a single jnp.pad. The legacy site chain materialized the image twice per
+# conv site (nn/cf.py::reflection_pad, then conv_valid_cf's alignment pad) —
+# together ~24% of the while-body's modeled cycles (round-5 HLO profile:
+# cf.py:71 19.3% + cf_conv.py:226 5.1%).
+# ---------------------------------------------------------------------------
+
+def _align_for_valid(c: int, hp: int, wp_cols: int, kh: int, kw: int,
+                     o_ch: int, itemsize: int):
+    """Alignment amounts for the VALID kernel over a (c, hp, wp_cols) input
+    (the exact conv_valid_cf formulas, factored so the one-pad path cannot
+    drift from them)."""
+    h_out = hp - kh + 1
+    w_out = wp_cols - kw + 1
+    w_run = -(-w_out // 128) * 128
+    wp_target = -(-max(wp_cols, w_run + kw - 1) // 128) * 128
+    th = _pick_th(c, kh, kw, wp_target, w_run, o_ch, itemsize)
+    pad_r = (-h_out) % th
+    h_run = h_out + pad_r
+    need_rows = (h_run - th) + _round8(th + kh - 1)
+    pad_rows = max(need_rows - hp, pad_r)
+    pad_cols = wp_target - wp_cols
+    return pad_rows, pad_cols, th, h_run, w_run, h_out, w_out
+
+
+def _conv_one_pad(x, w, kh, kw, p, mode):
+    """ONE combined pad + the valid kernel. Returns (out, xp); out is
+    (O, H + 2p - kh + 1, W + 2p - kw + 1), xp the padded input (the dw
+    residual). The alignment region's values never reach a kept output
+    (those rows/cols only produce outputs that are sliced off), so padding
+    it in ``mode`` is as correct as zero."""
+    c, h, wid = x.shape
+    i_pad = _round8(c)
+    pad_rows, pad_cols, th, h_run, w_run, h_out, w_out = _align_for_valid(
+        c, h + 2 * p, wid + 2 * p, kh, kw, w.shape[3], x.dtype.itemsize)
+    if mode == "reflect" and (p + pad_rows > h - 1 or p + pad_cols > wid - 1):
+        # reflect cannot span past the axis; split (tiny levels only)
+        xp = jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="reflect")
+        xp = jnp.pad(xp, ((0, 0), (0, pad_rows), (0, pad_cols)))
+    else:
+        xp = jnp.pad(x, ((0, 0), (p, p + pad_rows), (p, p + pad_cols)),
+                     mode=mode)
+    out = _conv_call(xp, _wmat(w, i_pad), kh=kh, kw=kw,
+                     h_out=h_run, w_out=w_run, th=th)
+    if h_run != h_out or w_run != w_out:
+        out = out[:, :h_out, :w_out]
+    return out, xp
+
+
+def _fold_axis(d, p: int, n: int, axis: int):
+    """Transpose of a width-p reflect pad on ``axis`` (source length n):
+    the mirrored border cotangents fold-add onto their source rows."""
+    def sl(a, b):
+        return tuple(slice(a, b) if i == axis else slice(None)
+                     for i in range(d.ndim))
+    rev = tuple(slice(None, None, -1) if i == axis else slice(None)
+                for i in range(d.ndim))
+    core = d[sl(p, p + n)]
+    if p == 0:
+        return core
+    top = d[sl(0, p)][rev]                 # padded j=p-1..0 -> rows 1..p
+    bot = d[sl(p + n, p + n + p)][rev]     # -> rows n-1-p..n-2
+    core = core.at[sl(1, p + 1)].add(top)
+    core = core.at[sl(n - 1 - p, n - 1)].add(bot)
+    return core
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv_pad_cf(x: jnp.ndarray, w: jnp.ndarray, pdims) -> jnp.ndarray:
+    """Padded conv: x (I, H, W) x w (kh, kw, I, O) -> (O, H', W') with the
+    semantic padding applied inside. ``pdims`` = (kh, kw, p, mode) static;
+    mode is 'reflect' (torch ReflectionPad2d semantics) or 'constant'."""
+    kh, kw, p, mode = pdims
+    out, _ = _conv_one_pad(x, w, kh, kw, p, mode)
+    return out
+
+
+def _pad_fwd(x, w, pdims):
+    kh, kw, p, mode = pdims
+    out, xp = _conv_one_pad(x, w, kh, kw, p, mode)
+    return out, (xp, w, x.shape)
+
+
+def _pad_bwd(pdims, res, g):
+    kh, kw, p, mode = pdims
+    xp, w, xshape = res
+    _, h, wid = xshape
+    dw = dw_valid_cf(xp, g.astype(xp.dtype), (kh, kw)).astype(w.dtype)
+    # dx over the SEMANTICALLY padded extent via full correlation (the
+    # alignment region's outputs were sliced off -> zero cotangent there);
+    # one-pad again: the (kh-1) full-correlation pad + alignment fuse too.
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dxp, _ = _conv_one_pad(g.astype(xp.dtype), w_flip.astype(xp.dtype),
+                           kh, kw, kh - 1, "constant")
+    if mode == "reflect" and p:
+        # fwd pads axis 1 then axis 2 (np.pad order); transpose composes
+        # in reverse: fold cols first, then rows
+        dxp = _fold_axis(dxp, p, wid, axis=2)
+        dx = _fold_axis(dxp, p, h, axis=1)
+    else:
+        dx = dxp[:, p:p + h, p:p + wid]
+    return dx, dw
+
+
+conv_pad_cf.defvjp(_pad_fwd, _pad_bwd)
 
 
 def _conv_s2_planes(xs: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -463,8 +572,18 @@ def conv2d_cf_pallas(x: jnp.ndarray, w: jnp.ndarray,
 
     kh = w.shape[0]
     xs = x[0]
+    mode = "reflect" if pad_mode == "reflection" else "constant"
+    if (padding and stride == 1 and w.ndim == 4
+            and w.shape[0] == w.shape[1] and kh in (1, 3, 5)
+            and xs.shape[2] + 2 * padding - kh + 1 >= 64
+            and _os.environ.get("MFVI_DIP_ONE_PAD", "1") != "0"):
+        # merged one-pad path: semantic + alignment padding in a single
+        # jnp.pad inside conv_pad_cf (A/B gate MFVI_DIP_ONE_PAD=0)
+        out = conv_pad_cf(xs, w, (kh, kh, padding, mode))[None]
+        if b is not None:
+            out = out + b[None, :, None, None]
+        return out
     if padding:
-        mode = "reflect" if pad_mode == "reflection" else "constant"
         xs = jnp.pad(xs, ((0, 0), (padding, padding), (padding, padding)),
                      mode=mode)
     if not supported(xs, w, stride):
