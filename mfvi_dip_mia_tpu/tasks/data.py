@@ -202,6 +202,10 @@ def get_image_denoising(img: int):
 
 
 def get_img_superresolution(img: int):
+    if img == 9:   # addition: the vendored real MRI slice — the SR task is
+        # the reference's own MRI use-case (eval_sr.ipynb)
+        im = real_mri_slice()
+        return im, im.shape[1:]
     rel = _SR_FILES[img]
     if _exists(rel):
         img_np = I.load_image(os.path.join(data_root(), rel))
@@ -212,6 +216,11 @@ def get_img_superresolution(img: int):
 
 
 def get_img_inpainting(img: int):
+    if img == 9:   # addition: real MRI slice (3-channel replicated — the
+        # inp runners are RGB) + the deterministic hair-curve mask
+        im = np.repeat(real_mri_slice(), 3, axis=0)
+        _, mask = synthetic_hair(0, im.shape[1])
+        return im, mask, im.shape[1:]
     rel, mask_rel = _INP_FILES[img]
     if _exists(rel) and _exists(mask_rel):
         img_np = I.load_image(os.path.join(data_root(), rel))

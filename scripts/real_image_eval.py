@@ -36,10 +36,15 @@ def run_one(task: str, iters: int, out_root: str,
     # (test_configs/mfvi_den.json img 5, test_mfvi_ct.json) — override with
     # img-9-tuned values from the bo_mfvi_den_img9 sweep when available
     hp = {"den": dict(temp=5.66e-7, sigma=1.46e-5),
-          "ct": dict(temp=2.2e-10, sigma=1.7e-7)}[task]
+          "ct": dict(temp=2.2e-10, sigma=1.7e-7),
+          # reference pinned optima (configs/test_mfvi_sr.json /
+          # test_mfvi_inp.json run_params + candidates)
+          "sr": dict(temp=4.38e-7, sigma=4.9e-8, input_depth=32),
+          "inp": dict(temp=1e-12, sigma=6.5e-4)}[task]
+    lr = {"den": 1e-3, "ct": 1e-3, "sr": 1e-3, "inp": 2e-3}[task]
     if hp_override:
         hp.update(hp_override)
-    final = run_task(task, "mfvi", img=9, num_iter=iters, lr=1e-3, seed=1,
+    final = run_task(task, "mfvi", img=9, num_iter=iters, lr=lr, seed=1,
                      show_every=500, metrics_every=10, chunk_iters=500,
                      plot=False, save=True, save_path=save_path, **hp)
     runs = sorted(pathlib.Path(save_path).iterdir())

@@ -178,3 +178,89 @@ def test_lanczos_downsample_mode():
     out = net.apply(params, x, training=False)
     assert out.shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference")
+def test_forward_golden_vs_torch_inp_6scale():
+    """VALUE-level forward parity of the 6-scale no-skip k5/k3 inpainting
+    net (ref bayesian_optimization.py:2771-2799, models/skip.py:5-134):
+    transplant the torch net's weights into our pytree by call order and
+    compare train-mode forwards on the same input. Statistical trajectory
+    parity cannot see a forward-semantics bug; this pins it exactly."""
+    import torch
+    ref_models = _import_reference_models()
+
+    in_ch, size = 32, 256         # 6 stride-2 k5 levels: deepest 4x4 (torch reflect pad needs >2)
+    torch.manual_seed(0)
+    net_t = ref_models.skip(
+        in_ch, num_output_channels=4, pad="reflection",
+        num_channels_down=[16, 32, 64, 128, 128, 128],
+        num_channels_up=[16, 32, 64, 128, 128, 128],
+        num_channels_skip=[0] * 6, filter_size_down=5, filter_size_up=3,
+        filter_skip_size=1, need1x1_up=False, upsample_mode="nearest",
+        dropout_mode_down="None", dropout_mode_up="None",
+        dropout_mode_skip="None", dropout_mode_output="None",
+        need_sigmoid=False)
+    net_t.train()
+
+    # capture conv/bn modules in CALL order via forward hooks
+    seq, hooks = [], []
+    for m in net_t.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            hooks.append(m.register_forward_hook(
+                lambda m, i, o, k="conv": seq.append((k, m))))
+        elif isinstance(m, torch.nn.BatchNorm2d):
+            hooks.append(m.register_forward_hook(
+                lambda m, i, o, k="bn": seq.append((k, m))))
+    rng = np.random.default_rng(7)
+    x_np = rng.uniform(0, 0.1, (1, in_ch, size, size)).astype(np.float32)
+    with torch.no_grad():
+        out_t = net_t(torch.from_numpy(x_np)).numpy()
+    for h in hooks:
+        h.remove()
+
+    net_j = SkipNet(
+        num_input_channels=in_ch, num_output_channels=4,
+        num_channels_down=[16, 32, 64, 128, 128, 128],
+        num_channels_up=[16, 32, 64, 128, 128, 128],
+        num_channels_skip=[0] * 6, filter_size_down=5, filter_size_up=3,
+        filter_skip_size=1, need1x1_up=False, upsample_mode="nearest",
+        pad="reflection", need_sigmoid=False)
+    params = net_j.init(jax.random.PRNGKey(0))
+
+    it = iter(seq)
+
+    def take(kind):
+        k, m = next(it)
+        assert k == kind, (k, kind)
+        return m
+
+    def conv_leaf():
+        m = take("conv")
+        return {"w": jnp.asarray(m.weight.detach().numpy()
+                                 .transpose(2, 3, 1, 0)),
+                "b": jnp.asarray(m.bias.detach().numpy())}
+
+    def bn_leaf():
+        m = take("bn")
+        return {"scale": jnp.asarray(m.weight.detach().numpy()),
+                "offset": jnp.asarray(m.bias.detach().numpy())}
+
+    L = params["levels"]
+    for i in range(6):            # down chain fires first, in depth order
+        L[i]["down1"] = {"conv": conv_leaf(), "bn": bn_leaf()}
+        L[i]["down2"] = {"conv": conv_leaf(), "bn": bn_leaf()}
+    for i in reversed(range(6)):  # up chain fires deepest-first
+        L[i]["bn_cat"] = bn_leaf()
+        L[i]["up"] = {"conv": conv_leaf(), "bn": bn_leaf()}
+    params["out"] = {"conv": conv_leaf()}
+    assert next(it, None) is None, "torch has modules we did not consume"
+
+    out_j = np.asarray(net_j.apply(
+        params, jnp.asarray(x_np.transpose(0, 2, 3, 1)), training=True))
+    out_j_cf = np.asarray(net_j.apply(
+        params, jnp.asarray(x_np.transpose(0, 2, 3, 1)), training=True,
+        layout="auto"))
+    ref = out_t.transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out_j, ref, atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(out_j_cf, ref, atol=2e-4, rtol=1e-3)
