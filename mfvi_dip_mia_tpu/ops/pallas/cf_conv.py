@@ -453,7 +453,9 @@ def _conv_one_pad(x, w, kh, kw, p, mode):
 
 def _fold_axis(d, p: int, n: int, axis: int):
     """Transpose of a width-p reflect pad on ``axis`` (source length n):
-    the mirrored border cotangents fold-add onto their source rows."""
+    the mirrored border cotangents fold-add onto their source rows. Built
+    as ONE concat of slices (adds only on the 2p border rows) — .at[].add
+    lowers to scatter-flavored updates that measured ~8% slower end-to-end."""
     def sl(a, b):
         return tuple(slice(a, b) if i == axis else slice(None)
                      for i in range(d.ndim))
@@ -464,9 +466,13 @@ def _fold_axis(d, p: int, n: int, axis: int):
         return core
     top = d[sl(0, p)][rev]                 # padded j=p-1..0 -> rows 1..p
     bot = d[sl(p + n, p + n + p)][rev]     # -> rows n-1-p..n-2
-    core = core.at[sl(1, p + 1)].add(top)
-    core = core.at[sl(n - 1 - p, n - 1)].add(bot)
-    return core
+    return jnp.concatenate([
+        core[sl(0, 1)],
+        core[sl(1, p + 1)] + top,
+        core[sl(p + 1, n - 1 - p)],
+        core[sl(n - 1 - p, n - 1)] + bot,
+        core[sl(n - 1, n)],
+    ], axis=axis)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -576,9 +582,15 @@ def conv2d_cf_pallas(x: jnp.ndarray, w: jnp.ndarray,
     if (padding and stride == 1 and w.ndim == 4
             and w.shape[0] == w.shape[1] and kh in (1, 3, 5)
             and xs.shape[2] + 2 * padding - kh + 1 >= 64
-            and _os.environ.get("MFVI_DIP_ONE_PAD", "1") != "0"):
-        # merged one-pad path: semantic + alignment padding in a single
-        # jnp.pad inside conv_pad_cf (A/B gate MFVI_DIP_ONE_PAD=0)
+            and _os.environ.get("MFVI_DIP_ONE_PAD", "0") != "0"):
+        # merged one-pad FORWARD path — measured NEGATIVE on the v5e and
+        # therefore default-OFF (MFVI_DIP_ONE_PAD=1 re-enables): same-session
+        # CT MFVI A/B 313-320 it/s merged vs 340.9 split (the asymmetric
+        # reflect covering the alignment region lowers worse than
+        # reflect-then-constant, even with the concat-style fold transpose).
+        # The rest of this change IS the win and stays on: conv_valid_cf's
+        # bwd dx one-pad (constant) + the one-pass BN landed +5% vs the r4
+        # bench at the same methodology (323.75 -> 340.9).
         out = conv_pad_cf(xs, w, (kh, kh, padding, mode))[None]
         if b is not None:
             out = out + b[None, :, None, None]
