@@ -384,6 +384,9 @@ def _get_run_chunk(problem: Problem, method_name: str, optimizer,
     per_net = _net_cache(problem.net)
     cache_key = (problem.task, method_name, reparam, str(compute_dtype),
                  layout,
+                 # module constants baked in at trace time (the lockstep
+                 # test monkeypatches the jitter off)
+                 REG_NOISE_STD,
                  # trace-time env gates baked into the executable (A/B runs
                  # flip them between fits in one process)
                  os.environ.get("MFVI_DIP_FLAT_SAMPLE", "1"),
