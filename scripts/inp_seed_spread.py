@@ -10,8 +10,13 @@ seed spread at the parity budgets, and optionally extra ORACLE seeds, so
 the recorded single-seed deltas can be judged against the seed noise.
 
 Usage:
-  python scripts/inp_seed_spread.py --method dip --seeds 1 2 3 7 43 44
-  python scripts/inp_seed_spread.py --method dip --oracle-seeds 43
+  MFVI_DIP_SPREAD_TPU=1 python scripts/inp_seed_spread.py --method dip \
+      --seeds 1 2 3 7 43 44      # our side on the chip (seconds per fit)
+  python scripts/inp_seed_spread.py --method dip --oracle-seeds 43  # torch CPU
+
+A 256^2 300-iter our-side fit takes >60 min on this 1-core host but
+seconds on the chip; seed-variance estimation does not need the CPU
+backend (f32 either way; the lockstep test pins the dynamics).
 
 Appends to logs/inp_seed_spread.json.
 """
@@ -41,7 +46,8 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("MFVI_DIP_SPREAD_TPU", "0") == "0":
+        jax.config.update("jax_platforms", "cpu")
     import numpy as np
 
     from mfvi_dip_mia_tpu.tasks.data import synthetic_hair

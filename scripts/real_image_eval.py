@@ -89,8 +89,17 @@ def main(argv=None):
                 hp["sigma"] = args.den_sigma
         rows.append(run_one(task, iters, args.out, hp))
         print(json.dumps(rows[-1]), flush=True)
-    with open(os.path.join(args.out, "rows.json"), "w") as f:
-        json.dump(rows, f, indent=2)
+    # merge with existing rows (replace same-task entries) — a partial
+    # --tasks run must not clobber the other tasks' committed rows
+    path = os.path.join(args.out, "rows.json")
+    existing = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+    done = {r["task"] for r in rows}
+    merged = [r for r in existing if r.get("task") not in done] + rows
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 if __name__ == "__main__":
