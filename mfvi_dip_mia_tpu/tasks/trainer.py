@@ -273,8 +273,18 @@ def make_step_fn(problem: Problem, method_name: str, optimizer,
         opt_state = state.opt_state
         # traced hyperparameters ride in the inject_hyperparams state
         opt_state.hyperparams["weight_decay"] = hp.weight_decay
+        # Reference quirk (replicated): run_ct_sgld CREATES its ExponentialLR
+        # scheduler but never calls scheduler.step() — only the den/sr/inp
+        # SGLD runners decay (ref bayesian_optimization.py:1784-1785,
+        # :2619-2620, :3470-3471; nothing in :955-1060). CT SGLD therefore
+        # runs at CONSTANT lr. Decaying it here froze our CT fit while the
+        # sigma=2*lr0 param noise kept kicking: 15.54 vs 16.21 dB at 500
+        # iters, degrading to 13.97 vs 16.78 at 1500 (logs/
+        # ct_sgld_confirm.json, pre-fix) — the r4 parity table's worst
+        # non-inp delta, root-caused.
+        sgld_decays = is_sgld and problem.task != "ct"
         opt_state.hyperparams["learning_rate"] = (
-            _sgld_lr(hp, it) if is_sgld else hp.lr)
+            _sgld_lr(hp, it) if sgld_decays else hp.lr)
         if "kl_temp" in opt_state.hyperparams:
             # fused flat AdamW: the analytic KL gradient rides the optimizer
             # (optim/fused_adamw.py); zero-scaled unless this step routed the
