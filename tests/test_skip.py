@@ -116,7 +116,11 @@ def test_dropout_config_stochastic():
         dropout_mode_down="2d", dropout_p_down=0.3,
         dropout_mode_up="2d", dropout_p_up=0.3)
     params = net.init(jax.random.PRNGKey(0))
-    x = jnp.ones((1, 32, 32, 16)) * 0.1
+    # noise input: a CONSTANT input degenerates train-mode BN to exactly
+    # `offset` (zeros at init) under the round-5 one-pass moments, which
+    # zeroes every activation and hides the dropout masks — the old
+    # two-pass BN only passed here by leaking f32 reduction noise
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 32, 32, 16)) * 0.1
     o1 = net.apply(params, x, key=jax.random.PRNGKey(1), training=True)
     o2 = net.apply(params, x, key=jax.random.PRNGKey(2), training=True)
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
